@@ -1,0 +1,150 @@
+"""Configuration dataclasses for the engine.
+
+The reference has no config system — configuration is Rust plugin structs and
+ECS resources (SURVEY §5.6: ``RenderPlugin``, ``Sunlight`` at
+``crates/render/src/pipeline/sky.rs:6``, ``ExposureSettings`` at
+``crates/render/src/pipeline/auto_exposure.rs:228``, GLSL ``#define`` /
+specialization constants). Here they are explicit, hashable dataclasses so
+they can be closed over by ``jax.jit`` as static configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SunlightSettings:
+    """Sun + sky configuration.
+
+    Reference: ``Sunlight`` resource, ``crates/render/src/pipeline/sky.rs:6-23``.
+    ``direction`` points from the eye toward the sun and must be normalised.
+    """
+
+    turbidity: float = 1.0
+    albedo: tuple[float, float, float] = (0.2, 0.2, 0.2)
+    direction: tuple[float, float, float] = (0.0, 0.80114365, -0.5984721)
+
+    # Solar angular radius used by the solar-disc term; the reference bakes
+    # (0.51 deg)/2 into SkyModelState.sunlight_intensity.w (sky.rs:129).
+    solar_radius: float = (0.51 * math.pi / 180.0) / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExposureSettings:
+    """Histogram auto-exposure parameters.
+
+    Reference: ``ExposureSettings`` + the two compute passes in
+    ``crates/render/src/pipeline/auto_exposure.rs`` /
+    ``assets/shaders/auto_exposure.comp``.
+    """
+
+    min_log_luminance: float = -10.0
+    max_log_luminance: float = 2.0
+    time_coefficient: float = 1.1  # fraction of the distance to move per frame
+    num_bins: int = 256
+
+    @property
+    def log_luminance_range(self) -> float:
+        return self.max_log_luminance - self.min_log_luminance
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiserSettings:
+    """Temporal accumulation + à-trous spatial filter.
+
+    Replaces the closed-source NRD REBLUR integration
+    (``crates/render/src/pipeline/nrd.rs``) with an open, TPU-friendly
+    reimplementation: motion-vector temporal reprojection with
+    depth/normal validity tests, then ``atrous_iterations`` of an
+    edge-aware à-trous wavelet filter guided by hit distance.
+    """
+
+    max_accumulated_frames: int = 30
+    atrous_iterations: int = 4
+    depth_sigma: float = 0.7
+    normal_sigma: float = 32.0
+    luminance_sigma: float = 4.0
+    # Normalised-hit-distance driven blur scaling (REBLUR-style).
+    hitdist_blur_scale: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialHashSettings:
+    """GI radiance cache layout.
+
+    Reference: ``assets/shaders/headers/spatial_hash.glsl:1`` (capacity
+    specialization constant, default 32Mi entries) and ``:179``
+    (MAX_SAMPLE_COUNT = 404). The default here is smaller; pass the
+    reference value explicitly for a parity run.
+    """
+
+    capacity: int = 1 << 20
+    max_sample_count: int = 404
+    num_probes: int = 3
+    # Cell size in world units: leaves are 4 voxels wide and keys are
+    # quantised leaf centres / 4 (final_gather.rchit:43).
+    cell_size: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfelSettings:
+    """Surfel pool used to refresh the spatial hash over frames.
+
+    Reference: 720*480 pool (``standard.rs:334-341``,
+    ``headers/surfel.glsl``), one cosine ray + one sun-NEE ray per surfel
+    per frame (``surfel/surfel.rgen``).
+    """
+
+    pool_size: int = 720 * 480
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera.
+
+    Reference: ``PinholeProjection`` (``crates/render/src/projection.rs:4``)
+    with infinite-reverse-Z projection (``standard.rs:277-302``); ray
+    generation per ``headers/camera.glsl``.
+    """
+
+    fov: float = math.pi / 2.0
+    near: float = 0.1
+    far: float = 100000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Top-level per-frame pipeline configuration.
+
+    The CONTRIBUTION_* toggles mirror ``headers/standard.glsl:16-26``.
+    """
+
+    width: int = 1920
+    height: int = 1080
+
+    # Light-path contribution toggles (standard.glsl:16-26).
+    contribution_direct: bool = True                 # Eye -> Object -> Sun
+    contribution_secondary_skylight: bool = True     # Eye -> Object -> Sky
+    contribution_secondary_spatial_hash: bool = True  # Eye -> Obj -> Obj
+    contribution_secondary_sunlight: bool = True     # Eye->Obj->Surfel->Sun
+
+    # tmax for the AO ray; beyond this the final-gather pass takes over
+    # (standard.glsl:28 AMBIENT_OCCLUSION_THRESHOLD).
+    ambient_occlusion_threshold: float = 8.0
+
+    camera: CameraConfig = CameraConfig()
+    sunlight: SunlightSettings = SunlightSettings()
+    exposure: ExposureSettings = ExposureSettings()
+    denoiser: DenoiserSettings = DenoiserSettings()
+    spatial_hash: SpatialHashSettings = SpatialHashSettings()
+    surfels: SurfelSettings = SurfelSettings()
+
+    # Traversal kernel selection: "jnp" (pure XLA wavefront loop) or
+    # "pallas" (hand-written Mosaic kernel).
+    traversal_backend: str = "jnp"
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
