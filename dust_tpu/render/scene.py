@@ -1,0 +1,165 @@
+"""Device scene assembly: flat arrays + instance table.
+
+This is the TPU analog of the reference's acceleration-structure layer
+(``crates/render/src/accel_struct/``): per-model BLAS ≙ a dense 64³
+``cell_info`` grid fused with a chebyshev empty-space-skip field, and the
+TLAS instance buffer ≙ a small table of object↔world affines + model ids
+(``tlas.rs:29-79``). Hardware ray tracing is replaced by the wavefront
+HDDA in :mod:`dust_tpu.ops.traverse`.
+
+``cell_info`` encoding per 4³ block cell:
+
+* ``v >= 0``  — occupied block; ``v`` is the leaf row in the model's flat
+  leaf arrays.
+* ``v <  0``  — empty; ``-v`` is a conservative chebyshev distance (in
+  blocks) to the nearest occupied block, so a ray at this cell may skip
+  ``-v`` blocks in one step. This replaces the empty-space skipping the
+  reference got from hardware TLAS traversal.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dust_tpu.vox.loader import VoxScene
+
+__all__ = ["DeviceScene", "build_device_scene", "chebyshev_distance_field", "cell_info_grid"]
+
+MAX_SKIP = 63  # distances are clamped; any value >= 1 is a valid skip
+
+
+def chebyshev_distance_field(occupied: np.ndarray, max_dist: int = MAX_SKIP) -> np.ndarray:
+    """Chebyshev (L∞) distance to the nearest occupied cell, clamped.
+
+    Occupied cells get 0. Computed by iterative 3³ dilation — at 64³ this
+    is a few milliseconds on the host and fully vectorised.
+    """
+    occ = occupied.astype(bool)
+    dist = np.full(occ.shape, max_dist, dtype=np.int32)
+    dist[occ] = 0
+    frontier = occ
+    for d in range(1, max_dist):
+        if frontier.all():
+            break
+        # dilate by one chebyshev step
+        p = np.pad(frontier, 1, constant_values=False)
+        grown = np.zeros_like(frontier)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    grown |= p[dx:dx + 64, dy:dy + 64, dz:dz + 64]
+        new = grown & ~frontier
+        dist[new] = d
+        frontier = grown
+    return dist
+
+
+def cell_info_grid(leaf_grid: np.ndarray, max_dist: int = MAX_SKIP) -> np.ndarray:
+    """Fuse leaf rows and skip distances into one int32 lookup table."""
+    occ = leaf_grid >= 0
+    dist = chebyshev_distance_field(occ, max_dist)
+    return np.where(occ, leaf_grid, -np.maximum(dist, 1)).astype(np.int32)
+
+
+class DeviceScene(NamedTuple):
+    """All scene state on device. A pytree of jnp arrays; every field with
+    a leading M axis is stacked over models (padded to the max leaf
+    count), every field with a leading I axis is per instance."""
+
+    # Per-model traversal tables.
+    cell_info: jnp.ndarray      # (M, 64, 64, 64) int32
+    mask_lo: jnp.ndarray        # (M, Lmax) uint32
+    mask_hi: jnp.ndarray        # (M, Lmax) uint32
+    leaf_origin: jnp.ndarray    # (M, Lmax, 3) int32
+    material_ptr: jnp.ndarray   # (M, Lmax) int32 (pre-offset into materials)
+    avg_albedo: jnp.ndarray     # (M, Lmax) uint32 R10G10B10A2
+    # Shared material/palette pools.
+    materials: jnp.ndarray      # (Mtot,) int32 palette indices
+    palette: jnp.ndarray        # (256, 4) float32, 0..1 sRGB-encoded RGBA
+    # Instances.
+    inst_model: tuple           # static tuple of python ints (len I)
+    obj_to_world: jnp.ndarray   # (I, 3, 4) float32
+    world_to_obj: jnp.ndarray   # (I, 3, 4) float32
+    prev_obj_to_world: jnp.ndarray  # (I, 3, 4) float32 (last frame, motion)
+
+    @property
+    def num_instances(self) -> int:
+        return len(self.inst_model)
+
+    @property
+    def num_models(self) -> int:
+        return self.cell_info.shape[0]
+
+    def with_transforms(self, obj_to_world: jnp.ndarray) -> "DeviceScene":
+        """Move instances: new transforms; previous become prev (the
+        InstanceVec<PreviousFrameGlobalTransform> flow, instance_vec.rs)."""
+        o2w = jnp.asarray(obj_to_world, jnp.float32)
+        w2o = _invert_affines(o2w)
+        return self._replace(
+            obj_to_world=o2w, world_to_obj=w2o, prev_obj_to_world=self.obj_to_world
+        )
+
+
+def _invert_affines(a34: jnp.ndarray) -> jnp.ndarray:
+    lin = a34[..., :3, :3]
+    t = a34[..., :3, 3]
+    inv = jnp.linalg.inv(lin)
+    it = -jnp.einsum("...ij,...j->...i", inv, t, precision="highest")
+    return jnp.concatenate([inv, it[..., :, None]], axis=-1)
+
+
+def build_device_scene(scene: VoxScene) -> DeviceScene:
+    """Assemble a :class:`DeviceScene` from a loaded ``.vox`` scene."""
+    model_ids = sorted(scene.geometries)
+    geos = [scene.geometries[m] for m in model_ids]
+    id_to_slot = {m: i for i, m in enumerate(model_ids)}
+
+    lmax = max(max((g.num_blocks for g in geos), default=1), 1)
+    M = len(geos)
+
+    cell = np.full((M, 64, 64, 64), -MAX_SKIP, dtype=np.int32)
+    mask_lo = np.zeros((M, lmax), dtype=np.uint32)
+    mask_hi = np.zeros((M, lmax), dtype=np.uint32)
+    origin = np.zeros((M, lmax, 3), dtype=np.int32)
+    matptr = np.zeros((M, lmax), dtype=np.int32)
+    albedo = np.zeros((M, lmax), dtype=np.uint32)
+
+    materials = []
+    base = 0
+    for i, g in enumerate(geos):
+        L = g.num_blocks
+        cell[i] = cell_info_grid(g.flat.leaf_grid)
+        mask_lo[i, :L] = g.flat.mask_lo
+        mask_hi[i, :L] = g.flat.mask_hi
+        origin[i, :L] = g.flat.leaf_origin
+        matptr[i, :L] = g.flat.material_ptr.astype(np.int64) + base
+        albedo[i, :L] = g.avg_albedo
+        materials.append(g.materials.astype(np.int32))
+        base += len(g.materials)
+    materials = (
+        np.concatenate(materials) if materials else np.zeros(1, dtype=np.int32)
+    )
+
+    inst_model = tuple(id_to_slot[inst.model_id] for inst in scene.instances)
+    o2w = np.stack([inst.transform[:3, :4] for inst in scene.instances]).astype(
+        np.float32
+    ) if scene.instances else np.zeros((0, 3, 4), np.float32)
+
+    o2w_j = jnp.asarray(o2w)
+    return DeviceScene(
+        cell_info=jnp.asarray(cell),
+        mask_lo=jnp.asarray(mask_lo),
+        mask_hi=jnp.asarray(mask_hi),
+        leaf_origin=jnp.asarray(origin),
+        material_ptr=jnp.asarray(matptr),
+        avg_albedo=jnp.asarray(albedo),
+        materials=jnp.asarray(materials),
+        palette=jnp.asarray(scene.palette.astype(np.float32) / 255.0),
+        inst_model=inst_model,
+        obj_to_world=o2w_j,
+        world_to_obj=_invert_affines(o2w_j) if len(inst_model) else jnp.zeros((0, 3, 4)),
+        prev_obj_to_world=o2w_j,
+    )

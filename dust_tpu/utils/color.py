@@ -51,7 +51,10 @@ ACESCG_TO_XYZ = np.array(
 
 def _mat(v, m, xp):
     """Apply a 3x3 matrix to the last axis of ``v``."""
-    return xp.einsum("ij,...j->...i", xp.asarray(m), v)
+    if xp is np:
+        return xp.einsum("ij,...j->...i", xp.asarray(m), v)
+    # full f32 on TPU (the default einsum would hit the MXU in bf16)
+    return xp.einsum("ij,...j->...i", xp.asarray(m), v, precision="highest")
 
 
 def srgb_to_acescg(v, xp=np):
