@@ -1,0 +1,124 @@
+"""Benchmark: castle scene, full GI pipeline, Mrays/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": "Mrays/s/chip (castle 1080p, 1-bounce GI)", "value": N,
+   "unit": "Mrays/s", "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md); the pinned
+target is the BASELINE.json north star of 500 Mrays/s/chip, so
+``vs_baseline = value / 500``.
+
+Ray accounting mirrors the reference's per-frame budget (BASELINE.md):
+primary + sun-NEE + AO + final-gather at full res, plus 2 rays per
+surfel-pool entry.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="tiny smoke run")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--tile", type=int, default=65536)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from dust_tpu.config import (
+        RenderSettings, SpatialHashSettings, SurfelSettings,
+    )
+    from dust_tpu.ops import camera as cameralib
+    from dust_tpu.ops.noise import load_blue_noise
+    from dust_tpu.ops.sky import bake_sky
+    from dust_tpu.render.pipeline import make_frame_state, render_frame
+    from dust_tpu.render.scene import build_device_scene
+    from dust_tpu.vox import procgen
+    from dust_tpu.vox.loader import load_vox_scene
+
+    if args.small:
+        width, height = args.width or 320, args.height or 180
+        pool, cap, frames = 16384, 1 << 18, min(args.frames, 4)
+    else:
+        width, height = args.width or 1920, args.height or 1080
+        pool, cap, frames = 720 * 480, 1 << 22, args.frames
+
+    settings = RenderSettings(
+        width=width, height=height,
+        spatial_hash=SpatialHashSettings(capacity=cap),
+        surfels=SurfelSettings(pool_size=pool),
+    )
+    scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
+    state = make_frame_state(settings)
+    sky = bake_sky(settings.sunlight)
+    bn = load_blue_noise()
+    c2w = cameralib.look_at((150.0, 90.0, 180.0), (0.0, 30.0, 0.0))
+    cs = cameralib.camera_settings(
+        c2w, settings.camera.fov, settings.camera.near,
+        settings.camera.far, width, height,
+    )
+
+    def step(state):
+        out, _aux, state = render_frame(
+            scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+            settings, tile=args.tile,
+        )
+        return out, state
+
+    import jax.numpy as jnp
+
+    def sync(x):
+        # On the experimental axon platform block_until_ready is a no-op
+        # and bulk transfers crawl through the tunnel; fetching a scalar
+        # reduction is the only reliable completion barrier.
+        return float(jnp.sum(x))
+
+    # Warm up (compile + cache fill).
+    t0 = time.time()
+    out, state = step(state)
+    sync(out)
+    compile_s = time.time() - t0
+    out, state = step(state)
+    sync(out)
+
+    # Fixed sync/roundtrip latency to subtract (measured empty).
+    t0 = time.perf_counter()
+    sync(out)
+    roundtrip = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        out, state = step(state)
+    sync(out)
+    dt = max(time.perf_counter() - t0 - roundtrip, 1e-9) / frames
+
+    rays = width * height * 4 + pool * 2
+    mrays = rays / dt / 1e6
+    result = {
+        "metric": "Mrays/s/chip (castle 1080p, 1-bounce GI)"
+        if not args.small else "Mrays/s/chip (castle, small)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 500.0, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {width}x{height}, {frames} frames, {dt*1e3:.1f} ms/frame "
+        f"({1.0/dt:.1f} fps), {rays/1e6:.2f} Mrays/frame, compile {compile_s:.1f}s, "
+        f"device {jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,9 +40,9 @@ class ExposureSettings:
     ``assets/shaders/auto_exposure.comp``.
     """
 
-    min_log_luminance: float = -10.0
-    max_log_luminance: float = 2.0
-    time_coefficient: float = 1.1  # fraction of the distance to move per frame
+    min_log_luminance: float = -6.0
+    max_log_luminance: float = 8.5
+    time_coefficient: float = 0.2  # fraction of the distance to move per frame
     num_bins: int = 256
 
     @property

@@ -1,0 +1,192 @@
+"""Real-time GI denoiser: temporal accumulation + edge-aware à-trous.
+
+Replaces the reference's closed-source NRD REBLUR integration
+(``crates/render/src/pipeline/nrd.rs`` — prebuilt SPIR-V blobs, SURVEY
+§7.7 calls for an open reimplementation). Same interface contract as
+REBLUR diffuse: consumes world-space motion vectors, packed
+normal+roughness, view-Z depth and YCoCg radiance+normalised-hit-distance;
+produces denoised radiance in the same packing.
+
+Design (SVGF/REBLUR-style, TPU-shaped):
+
+1. temporal reprojection — previous world position = hit + motion
+   (hit.rchit:90-94 packs ``prevWorld - curWorld``), projected with the
+   previous frame's view-proj; bilinear history fetch validated by
+   world-position and normal agreement; exponential accumulation capped
+   at ``max_accumulated_frames``.
+2. spatial pass — ``atrous_iterations`` of a 3×3 à-trous wavelet with
+   depth/normal/luminance edge stops; the blur width additionally scales
+   with the ray hit distance (short hit distance = contact region = less
+   blur), REBLUR's key idea.
+
+Everything is dense elementwise/shift arithmetic — ideal VPU work; the
+only gathers are the four taps of the bilinear history fetch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from dust_tpu.config import DenoiserSettings
+from dust_tpu.ops import packing as pk
+
+__all__ = ["DenoiserState", "make_denoiser_state", "denoise"]
+
+
+class DenoiserState(NamedTuple):
+    color: jnp.ndarray        # (H,W,3) accumulated linear radiance
+    hitdist: jnp.ndarray      # (H,W) accumulated hit distance
+    history_len: jnp.ndarray  # (H,W) float frames accumulated
+    prev_pos: jnp.ndarray     # (H,W,3) world position of last frame's hits
+    prev_normal: jnp.ndarray  # (H,W,3)
+
+
+def make_denoiser_state(height: int, width: int) -> DenoiserState:
+    # Explicit non-weak dtypes: the state must round-trip through
+    # render_frame without changing abstract values, or jit recompiles.
+    return DenoiserState(
+        color=jnp.zeros((height, width, 3), jnp.float32),
+        hitdist=jnp.zeros((height, width), jnp.float32),
+        history_len=jnp.zeros((height, width), jnp.float32),
+        prev_pos=jnp.full((height, width, 3), 1e30, jnp.float32),
+        prev_normal=jnp.zeros((height, width, 3), jnp.float32),
+    )
+
+
+def _bilinear(img: jnp.ndarray, xy: jnp.ndarray):
+    """Bilinear fetch of (H,W,C) at float pixel coords (...,2) = (x,y)."""
+    h, w = img.shape[:2]
+    x = xy[..., 0] - 0.5
+    y = xy[..., 1] - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return img[yy, xx]
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _project(view_proj: jnp.ndarray, pos: jnp.ndarray, width: int, height: int):
+    """World -> pixel coords under the (reverse-Z) view-proj."""
+    p = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
+    clip = jnp.einsum("...j,kj->...k", p, view_proj, precision="highest")
+    w = clip[..., 3]
+    ndc = clip[..., :2] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)[..., None]
+    x = (ndc[..., 0] * 0.5 + 0.5) * width
+    y = (0.5 - ndc[..., 1] * 0.5) * height
+    return jnp.stack([x, y], axis=-1), w
+
+
+def denoise(
+    state: DenoiserState,
+    radiance: jnp.ndarray,       # (H,W,3) linear current-frame illuminance
+    hitdist: jnp.ndarray,        # (H,W) current hit distance (0 = none)
+    depth: jnp.ndarray,          # (H,W) primary t (inf = sky)
+    normal: jnp.ndarray,         # (H,W,3) world normals
+    world_pos: jnp.ndarray,      # (H,W,3) primary hit positions
+    motion: jnp.ndarray,         # (H,W,3) prevWorld - curWorld
+    prev_view_proj: jnp.ndarray,  # (4,4)
+    settings: DenoiserSettings,
+):
+    """One denoiser step. Returns (denoised_rgb, hitdist, new_state)."""
+    height, width = depth.shape
+    valid_px = jnp.isfinite(depth)
+
+    # ---- temporal reprojection ----------------------------------------
+    prev_world = world_pos + motion
+    prev_xy, prev_w = _project(prev_view_proj, prev_world, width, height)
+    in_bounds = (
+        (prev_xy[..., 0] >= 0.5) & (prev_xy[..., 0] <= width - 0.5)
+        & (prev_xy[..., 1] >= 0.5) & (prev_xy[..., 1] <= height - 0.5)
+        & (prev_w > 0)
+    )
+    hist_color = _bilinear(state.color, prev_xy)
+    hist_hd = _bilinear(state.hitdist[..., None], prev_xy)[..., 0]
+    hist_len = _bilinear(state.history_len[..., None], prev_xy)[..., 0]
+    hist_pos = _bilinear(state.prev_pos, prev_xy)
+    hist_nrm = _bilinear(state.prev_normal, prev_xy)
+
+    # Geometric validation: the reprojected history must describe (nearly)
+    # the same surface point with a compatible orientation.
+    scale = jnp.maximum(jnp.abs(depth), 1.0)
+    pos_ok = jnp.linalg.norm(hist_pos - prev_world, axis=-1) < 0.15 * scale
+    nrm_ok = jnp.sum(hist_nrm * normal, axis=-1) > 0.8
+    valid_hist = in_bounds & pos_ok & nrm_ok & valid_px & jnp.isfinite(hist_len)
+
+    n = jnp.where(valid_hist, jnp.minimum(hist_len, settings.max_accumulated_frames - 1), 0.0)
+    alpha = 1.0 / (n + 1.0)
+    acc_color = hist_color + (radiance - hist_color) * alpha[..., None]
+    acc_color = jnp.where(valid_px[..., None], acc_color, radiance)
+    acc_hd = jnp.where(valid_px, hist_hd + (hitdist - hist_hd) * alpha, hitdist)
+    new_len = jnp.where(valid_px, n + 1.0, 0.0)
+
+    # ---- spatial à-trous ------------------------------------------------
+    lum = jnp.sum(acc_color * jnp.asarray([0.25, 0.5, 0.25]), axis=-1)
+    # Hit-distance-driven blur strength (REBLUR-style): contact regions
+    # (small accumulated hit distance) keep detail.
+    hd_norm = jnp.clip(acc_hd / (acc_hd + 4.0), 0.05, 1.0) * settings.hitdist_blur_scale
+    # Converged pixels need less spatial filtering.
+    conv = jnp.sqrt(1.0 / new_len.clip(1.0))
+
+    filtered = acc_color
+    inv_d2 = 1.0 / (settings.depth_sigma * settings.depth_sigma)
+
+    kernel = [(0, 0, 0.25)] + [
+        (dy, dx, 0.125 if (dx == 0 or dy == 0) else 0.0625)
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ]
+
+    for it in range(settings.atrous_iterations):
+        step = 1 << it
+        wsum = jnp.full_like(lum, 0.25)
+        csum = filtered * 0.25
+        lum_f = jnp.sum(filtered * jnp.asarray([0.25, 0.5, 0.25]), axis=-1)
+        for dy, dx, kw in kernel:
+            if dx == 0 and dy == 0:
+                continue
+            sy, sx = dy * step, dx * step
+            d_q = jnp.roll(depth, (-sy, -sx), axis=(0, 1))
+            n_q = jnp.roll(normal, (-sy, -sx), axis=(0, 1))
+            l_q = jnp.roll(lum_f, (-sy, -sx), axis=(0, 1))
+            c_q = jnp.roll(filtered, (-sy, -sx), axis=(0, 1))
+            v_q = jnp.roll(valid_px, (-sy, -sx), axis=(0, 1))
+
+            w_z = jnp.exp(-jnp.abs(depth - d_q) / jnp.maximum(depth, 1.0)
+                          * inv_d2 * 8.0 / (hd_norm + 1e-3))
+            w_n = jnp.maximum(jnp.sum(normal * n_q, axis=-1), 0.0) ** settings.normal_sigma
+            w_l = jnp.exp(
+                -jnp.abs(lum_f - l_q)
+                / (settings.luminance_sigma * conv * hd_norm + 1e-3)
+            )
+            wgt = kw * w_z * w_n * w_l * v_q.astype(jnp.float32)
+            wgt = jnp.where(jnp.isfinite(wgt), wgt, 0.0)
+            csum = csum + c_q * wgt[..., None]
+            wsum = wsum + wgt
+        filtered = csum / wsum[..., None]
+
+    out = jnp.where(valid_px[..., None], filtered, radiance)
+
+    new_state = DenoiserState(
+        color=jnp.where(valid_px[..., None], acc_color, 0.0),
+        hitdist=acc_hd,
+        history_len=new_len,
+        prev_pos=jnp.where(valid_px[..., None], world_pos, 1e30),
+        prev_normal=normal,
+    )
+    return out, acc_hd, new_state

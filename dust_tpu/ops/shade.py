@@ -1,0 +1,155 @@
+"""Hit-attribute resolution: everything ``hit.rchit`` computes per pixel.
+
+Reference: ``assets/shaders/primary/hit.rchit`` (popcount-compacted
+material lookup, cube-face normal, voxel-id pack, previous-frame motion
+reprojection) and the leaf-level attribute reads shared by
+``final_gather.rchit`` / ``surfel.rchit`` (avg-albedo unpack, spatial-hash
+keys from leaf centres).
+
+All functions are batched over rays and gather from the
+:class:`~dust_tpu.render.scene.DeviceScene` pools.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dust_tpu.ops import packing as pk
+from dust_tpu.vox.geometry import unpack_r10g10b10a2
+
+__all__ = ["resolve_hits", "leaf_attributes", "HitAttributes"]
+
+
+def _popcount32(x):
+    return jax.lax.population_count(x.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def _gather_inst(arrs, inst):
+    """Gather per-instance rows (I is tiny, XLA handles this as a gather)."""
+    safe = jnp.maximum(inst, 0)
+    return arrs[safe]
+
+
+def resolve_hits(scene, res, origin_w, dir_w):
+    """Per-pixel primary-hit attributes (hit.rchit:16-95).
+
+    Args:
+      res: TraceResult from a precise trace.
+      origin_w/dir_w: (N,3) the world rays that produced it.
+
+    Returns a dict of (N,...) arrays; miss lanes carry the reference miss
+    values (albedo 1, depth inf, motion 0 — miss.rmiss:10-16).
+    """
+    n = res.t.shape[0]
+    hit = res.inst >= 0
+    inst = jnp.maximum(res.inst, 0)
+    model = jnp.asarray(scene.inst_model, jnp.int32)[inst]
+    lmax = scene.mask_lo.shape[1]
+    flat_row = model * lmax + jnp.maximum(res.row, 0)
+
+    leaf_origin = scene.leaf_origin.reshape(-1, 3)[flat_row]
+    mask_lo = scene.mask_lo.reshape(-1)[flat_row]
+    mask_hi = scene.mask_hi.reshape(-1)[flat_row]
+    mat_ptr = scene.material_ptr.reshape(-1)[flat_row]
+
+    # Object-space hit point: transform the world ray per instance.
+    w2o = _gather_inst(scene.world_to_obj, res.inst)
+    o_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], origin_w, precision="highest") + w2o[:, :, 3]
+    d_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], dir_w, precision="highest")
+    t = jnp.where(hit, res.t, 0.0)
+    hit_obj = o_obj + d_obj * t[:, None]
+
+    # Voxel bit -> offset in box (hit.rchit:21).
+    bit = jnp.maximum(res.bit, 0)
+    off = jnp.stack([(bit >> 4) & 3, (bit >> 2) & 3, bit & 3], axis=-1)
+    box_center = leaf_origin.astype(jnp.float32) + off.astype(jnp.float32) + 0.5
+
+    normal_obj = pk.cubed_normalize(hit_obj - box_center)
+    o2w = _gather_inst(scene.obj_to_world, res.inst)
+    normal_w = jnp.einsum("nij,nj->ni", o2w[:, :, :3], normal_obj, precision="highest")
+    nlen = jnp.linalg.norm(normal_w, axis=-1, keepdims=True)
+    normal_w = normal_w / jnp.maximum(nlen, 1e-8)
+
+    # Popcount-compacted palette lookup (hit.rchit:59-71).
+    below_lo = jnp.where(
+        bit < 32,
+        mask_lo & ((jnp.uint32(1) << jnp.minimum(bit, 31).astype(jnp.uint32)) - 1),
+        mask_lo,
+    )
+    below_hi = jnp.where(
+        bit >= 32,
+        mask_hi & ((jnp.uint32(1) << jnp.clip(bit - 32, 0, 31).astype(jnp.uint32)) - 1),
+        jnp.uint32(0),
+    )
+    offset = _popcount32(below_lo) + _popcount32(below_hi)
+    palette_idx = jnp.take(scene.materials, mat_ptr + offset, mode="clip")
+    albedo = jnp.take(scene.palette, palette_idx, axis=0)  # sRGB-encoded RGBA
+    albedo = jnp.where(hit[:, None], albedo.at[:, 3].set(1.0), 1.0)
+
+    # World hit point + previous-frame reprojection (hit.rchit:90-94).
+    hit_w = origin_w + dir_w * t[:, None]
+    hit_model = o_obj + d_obj * t[:, None]  # object == model space here
+    prev = _gather_inst(scene.prev_obj_to_world, res.inst)
+    prev_w = jnp.einsum("nij,nj->ni", prev[:, :, :3], hit_model, precision="highest") + prev[:, :, 3]
+    motion = jnp.where(hit[:, None], prev_w - hit_w, 0.0)
+
+    # | 8 bit voxel id | 8 bit palette | 16 bit instance | (hit.rchit:87)
+    voxel_id = jnp.where(
+        hit,
+        (bit.astype(jnp.uint32) << 24)
+        | (palette_idx.astype(jnp.uint32) << 16)
+        | (inst.astype(jnp.uint32) & 0xFFFF),
+        jnp.uint32(0),
+    )
+
+    depth = jnp.where(hit, res.t, jnp.inf)
+    return dict(
+        hit=hit,
+        depth=depth,
+        albedo=albedo,
+        normal=jnp.where(hit[:, None], normal_w, 0.0),
+        motion=motion,
+        voxel_id=voxel_id,
+        world_pos=jnp.where(hit[:, None], hit_w, 0.0),
+        palette_idx=palette_idx,
+    )
+
+
+def leaf_attributes(scene, res, origin_w, dir_w, cell_size: float = 4.0):
+    """Leaf-level attributes for rough hits (final_gather.rchit:38-55,
+    surfel.rchit:36-50): spatial-hash key (quantised leaf centre world +
+    face id from the leaf-AABB normal) and the leaf's average albedo."""
+    hit = res.inst >= 0
+    inst = jnp.maximum(res.inst, 0)
+    model = jnp.asarray(scene.inst_model, jnp.int32)[inst]
+    lmax = scene.mask_lo.shape[1]
+    flat_row = model * lmax + jnp.maximum(res.row, 0)
+
+    leaf_origin = scene.leaf_origin.reshape(-1, 3)[flat_row].astype(jnp.float32)
+    avg_albedo = scene.avg_albedo.reshape(-1)[flat_row]
+
+    w2o = _gather_inst(scene.world_to_obj, res.inst)
+    o_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], origin_w, precision="highest") + w2o[:, :, 3]
+    d_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], dir_w, precision="highest")
+    t = jnp.where(hit, res.t, 0.0)
+    hit_obj = o_obj + d_obj * t[:, None]
+
+    center_obj = leaf_origin + 2.0
+    o2w = _gather_inst(scene.obj_to_world, res.inst)
+    n_obj = hit_obj - center_obj
+    n_world_raw = jnp.einsum("nij,nj->ni", o2w[:, :, :3], n_obj, precision="highest")
+    aabb_normal_w = pk.cubed_normalize(n_world_raw)
+    center_w = jnp.einsum("nij,nj->ni", o2w[:, :, :3], center_obj, precision="highest") + o2w[:, :, 3]
+
+    qpos = jnp.trunc(center_w / cell_size).astype(jnp.int32)
+    face = pk.normal_to_face_id(aabb_normal_w)
+    albedo_rgba = unpack_r10g10b10a2(avg_albedo, xp=jnp)  # sRGB-encoded
+    return dict(
+        hit=hit,
+        qpos=qpos,
+        face=face,
+        center_world=center_w,
+        aabb_normal=aabb_normal_w,
+        avg_albedo=albedo_rgba,
+    )

@@ -1,0 +1,223 @@
+"""Spatial-hash GI radiance cache.
+
+Reference: ``assets/shaders/headers/spatial_hash.glsl`` — a 3-probe
+open-addressed hash keyed by (quantised leaf centre, cube face id):
+pcg-chained location hash, xxhash32-chained fingerprint, LogLuv-packed
+radiance, LRU eviction by last-accessed frame, running-mean blending
+capped at 404 samples.
+
+TPU adaptation (SURVEY §7.6): the GLSL inserts race via atomicCompSwap and
+unsynchronised field writes (spatial_hash.glsl:147-198, "embraced"
+per SURVEY §5.2). Here inserts are *deterministic*: batch duplicates of
+the same cell are pre-combined with an exact closed-form running mean
+(sequential mean with a constant value has the closed form
+``(r0*c0 + v*k)/(c0+k)``), then applied with unique-index scatters.
+Deviations from the GLSL, by design:
+
+* ``get`` does not update ``last_accessed_frame`` (pure function);
+  recency is refreshed on insert only, so LRU decisions can be staler.
+* In-batch collisions of *different* keys on the same slot resolve by
+  "first ray in sort order" instead of thread-race order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from dust_tpu.ops.packing import decode_logluv, encode_logluv
+
+__all__ = ["SpatialHash", "make_spatial_hash", "hash_get", "hash_insert",
+           "spatial_hash_key", "key_fingerprint", "key_location"]
+
+MAX_SAMPLE_COUNT = 404
+NUM_PROBES = 3
+
+
+class SpatialHash(NamedTuple):
+    fingerprint: jnp.ndarray   # (C,) uint32, 0 = empty
+    radiance: jnp.ndarray      # (C,) uint32 LogLuv
+    last_frame: jnp.ndarray    # (C,) int32
+    sample_count: jnp.ndarray  # (C,) int32
+
+    @property
+    def capacity(self) -> int:
+        return self.fingerprint.shape[0]
+
+
+def make_spatial_hash(capacity: int) -> SpatialHash:
+    return SpatialHash(
+        fingerprint=jnp.zeros(capacity, jnp.uint32),
+        radiance=jnp.zeros(capacity, jnp.uint32),
+        last_frame=jnp.zeros(capacity, jnp.int32),
+        sample_count=jnp.zeros(capacity, jnp.int32),
+    )
+
+
+def _pcg(v: jnp.ndarray) -> jnp.ndarray:
+    """pcg (spatial_hash.glsl:105-111), u32 wrap-around semantics."""
+    state = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    word = ((state >> ((state >> 28) + jnp.uint32(4))) ^ state) * jnp.uint32(277803737)
+    return (word >> 22) ^ word
+
+
+def _xxhash32(p: jnp.ndarray) -> jnp.ndarray:
+    """xxhash32 (spatial_hash.glsl:115-126)."""
+    p2 = jnp.uint32(2246822519)
+    p3 = jnp.uint32(3266489917)
+    p4 = jnp.uint32(668265263)
+    p5 = jnp.uint32(374761393)
+    h = p + p5
+    h = p4 * ((h << 17) | (h >> 15))
+    h = p2 * (h ^ (h >> 15))
+    h = p3 * (h ^ (h >> 13))
+    return h ^ (h >> 16)
+
+
+def spatial_hash_key(world_pos: jnp.ndarray, face_id: jnp.ndarray,
+                     cell_size: float = 4.0):
+    """SpatialHashKey from a leaf-centre world position + face id
+    (final_gather.rchit:42-44: ``ivec3(aabbCenterWorld / 4.0)``).
+
+    Note GLSL ``ivec3()`` truncates toward zero; replicated here."""
+    q = jnp.trunc(world_pos / cell_size).astype(jnp.int32)
+    return q, jnp.asarray(face_id, jnp.int32)
+
+
+def key_fingerprint(qpos: jnp.ndarray, face_id: jnp.ndarray) -> jnp.ndarray:
+    h = _xxhash32(qpos[..., 0].astype(jnp.uint32))
+    h = _xxhash32(qpos[..., 1].astype(jnp.uint32) + h)
+    h = _xxhash32(qpos[..., 2].astype(jnp.uint32) + h)
+    h = _xxhash32(face_id.astype(jnp.uint32) + h)
+    return jnp.maximum(jnp.uint32(1), h)
+
+
+def key_location(qpos: jnp.ndarray, face_id: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    h = _pcg(qpos[..., 0].astype(jnp.uint32))
+    h = _pcg(qpos[..., 1].astype(jnp.uint32) + h)
+    h = _pcg(qpos[..., 2].astype(jnp.uint32) + h)
+    h = _pcg(face_id.astype(jnp.uint32) + h)
+    return (h % jnp.uint32(capacity)).astype(jnp.int32)
+
+
+def _probe_state(hash_: SpatialHash, loc: jnp.ndarray):
+    """Gather the 3 probe slots for each query (wrapping at capacity like
+    the GLSL's unchecked ``location + i`` reads would, but safely)."""
+    cap = hash_.capacity
+    slots = (loc[..., None] + jnp.arange(NUM_PROBES, dtype=jnp.int32)) % cap
+    fp = jnp.take(hash_.fingerprint, slots)
+    return slots, fp
+
+
+def hash_get(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray):
+    """SpatialHashGet (spatial_hash.glsl:200-220).
+
+    Returns (found, radiance_acescg, sample_count)."""
+    fingerprint = key_fingerprint(qpos, face_id)
+    loc = key_location(qpos, face_id, hash_.capacity)
+    slots, fp = _probe_state(hash_, loc)
+
+    match = fp == fingerprint[..., None]
+    empty = fp == 0
+    # Probe i is reached only if all earlier probes were occupied non-matches.
+    blocked = jnp.cumsum((match | empty).astype(jnp.int32), axis=-1) \
+        - (match | empty).astype(jnp.int32)
+    reach = blocked == 0
+    hit = match & reach
+    found = jnp.any(hit, axis=-1)
+    slot = jnp.take_along_axis(
+        slots, jnp.argmax(hit, axis=-1)[..., None], axis=-1
+    )[..., 0]
+    radiance = decode_logluv(jnp.take(hash_.radiance, slot))
+    count = jnp.take(hash_.sample_count, slot)
+    zero = jnp.zeros_like(radiance)
+    return found, jnp.where(found[..., None], radiance, zero), jnp.where(found, count, 0)
+
+
+def hash_insert(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray,
+                value: jnp.ndarray, frame_index, valid=None) -> SpatialHash:
+    """SpatialHashInsert (spatial_hash.glsl:147-195), batched + deterministic.
+
+    ``value`` is ACEScg radiance (..., 3). ``valid`` masks inactive lanes.
+    """
+    qpos = qpos.reshape(-1, 3)
+    face_id = face_id.reshape(-1)
+    value = value.reshape(-1, 3)
+    n = qpos.shape[0]
+    valid = jnp.ones(n, bool) if valid is None else valid.reshape(-1)
+
+    fingerprint = key_fingerprint(qpos, face_id)
+    loc = key_location(qpos, face_id, hash_.capacity)
+    slots, fp = _probe_state(hash_, loc)
+
+    # Slot choice per the GLSL: first probe whose fingerprint matches or is
+    # empty; else the LRU of the three.
+    match_or_empty = (fp == fingerprint[:, None]) | (fp == 0)
+    any_me = jnp.any(match_or_empty, axis=-1)
+    first_me = jnp.argmax(match_or_empty, axis=-1)
+    last = jnp.take(hash_.last_frame, slots)
+    lru = jnp.argmin(last, axis=-1)
+    probe = jnp.where(any_me, first_me, lru)
+    slot = jnp.take_along_axis(slots, probe[:, None], axis=-1)[:, 0]
+
+    # ---- combine batch duplicates per (slot, fingerprint) --------------
+    # Sort by slot then fingerprint; group-reduce sums/counts.
+    slot_s = jnp.where(valid, slot, hash_.capacity)  # invalid -> sentinel
+    order = jnp.lexsort((fingerprint.astype(jnp.int32), slot_s))
+    s_slot = slot_s[order]
+    s_fp = fingerprint[order]
+    s_val = value[order]
+    s_valid = valid[order]
+
+    first = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (s_slot[1:] != s_slot[:-1]) | (s_fp[1:] != s_fp[:-1])]
+    ) & s_valid
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    gid = jnp.where(s_valid, gid, n - 1)  # dump invalids into last bucket
+
+    gsum = jnp.zeros((n, 3)).at[gid].add(jnp.where(s_valid[:, None], s_val, 0.0))
+    gcnt = jnp.zeros(n).at[gid].add(s_valid.astype(jnp.float32))
+
+    # One representative per group: the sorted position where first=True.
+    num_groups_mask = first
+    rep_slot = jnp.where(num_groups_mask, s_slot, hash_.capacity)
+    rep_fp = s_fp
+    k = jnp.where(num_groups_mask, gcnt[gid], 0.0)
+    vbar = gsum[gid] / jnp.maximum(gcnt[gid], 1.0)[:, None]
+
+    # Collision rule: if two *different* fingerprints map to one slot in
+    # this batch, keep only the first group for that slot.
+    slot_first = jnp.concatenate(
+        [jnp.ones(1, bool), s_slot[1:] != s_slot[:-1]]
+    )
+    apply_mask = num_groups_mask & slot_first & (rep_slot < hash_.capacity)
+
+    tgt = jnp.where(apply_mask, rep_slot, hash_.capacity - 1)
+    cur_fp = jnp.take(hash_.fingerprint, tgt)
+    same = cur_fp == rep_fp
+    c0 = jnp.where(same, jnp.take(hash_.sample_count, tgt), 0).astype(jnp.float32)
+    c0 = jnp.minimum(c0, MAX_SAMPLE_COUNT - 1)
+    r0 = jnp.where(same[:, None], decode_logluv(jnp.take(hash_.radiance, tgt)), 0.0)
+
+    new_cnt = jnp.minimum(c0 + k, MAX_SAMPLE_COUNT)
+    new_rad = (r0 * c0[:, None] + vbar * k[:, None]) / jnp.maximum(c0 + k, 1.0)[:, None]
+
+    # Unique-slot scatters (apply_mask guarantees uniqueness).
+    enc = encode_logluv(new_rad)
+    fi = jnp.asarray(frame_index, jnp.int32)
+    sel = apply_mask
+    upd_slot = jnp.where(sel, tgt, hash_.capacity)  # OOB drops
+    return SpatialHash(
+        fingerprint=hash_.fingerprint.at[upd_slot].set(
+            jnp.where(sel, rep_fp, 0), mode="drop"
+        ),
+        radiance=hash_.radiance.at[upd_slot].set(jnp.where(sel, enc, 0), mode="drop"),
+        last_frame=hash_.last_frame.at[upd_slot].set(
+            jnp.where(sel, fi, 0), mode="drop"
+        ),
+        sample_count=hash_.sample_count.at[upd_slot].set(
+            jnp.where(sel, new_cnt.astype(jnp.int32), 0), mode="drop"
+        ),
+    )

@@ -1,0 +1,355 @@
+"""The per-frame render pipeline: one jit-compiled function.
+
+Reference: ``StandardPipeline::render`` (``standard.rs:228-790``) — four
+``trace_rays`` passes (primary / AO+sun-NEE / final-gather / surfel) over
+the shared G-buffer and GI caches — followed by NRD denoising, histogram
+auto-exposure and ACES tone mapping (``examples/castle.rs:180-218``).
+Where the reference hand-declares barriers between passes, the data flow
+below *is* the dependency graph and XLA schedules it.
+
+Pass structure per frame (ray budget identical to the reference,
+BASELINE.md: ≈9 M rays/frame at 1080p):
+
+1. **primary** — precise trace from the camera; writes the G-buffer
+   (albedo/depth/normal/motion/voxel-id); misses write sky radiance
+   directly to the denoised output (``primary/miss.rmiss``).
+2. **AO + sun NEE** — per hit pixel: one cosine-hemisphere ray traced to
+   the 8-unit threshold (``ambient_occlusion.*``), one shadow ray to the
+   sun adding ``sun_radiance·(1-cosΘ)·N·L`` on miss
+   (``final_gather/nee.rmiss``). Deviation: shadow rays use the precise
+   intersector rather than the reference's threshold variant (which
+   hard-codes the 8.0 constant even for 10000-unit shadow rays).
+3. **final gather** — pixels whose AO ray escaped continue the *same*
+   cosine ray beyond the threshold with the rough intersector
+   (``final_gather/*``): spatial-hash radiance at the hit leaf × leaf
+   albedo, sky on miss, stochastic surfel enqueue.
+4. **surfel** — every valid pool entry shoots one cosine + one sun-NEE
+   ray from its patch (``surfel/*``) and inserts the result into the
+   spatial hash at its own cell → multi-bounce GI accumulates across
+   frames (SURVEY §3.5).
+5. **post** — temporal+à-trous denoise (NRD replacement), histogram
+   auto-exposure, ACES tonemap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dust_tpu.config import RenderSettings
+from dust_tpu.ops import camera as cameralib
+from dust_tpu.ops import denoise as denoiselib
+from dust_tpu.ops import exposure as exposurelib
+from dust_tpu.ops import packing as pk
+from dust_tpu.ops import shade
+from dust_tpu.ops import sky as skylib
+from dust_tpu.ops import spatial_hash as sh
+from dust_tpu.ops import tonemap as tonemaplib
+from dust_tpu.ops.traverse import trace_scene_tiled
+from dust_tpu.utils import color as colorlib
+
+__all__ = ["FrameState", "make_frame_state", "render_frame"]
+
+INVALID_SURFEL = 7  # direction >= 6 marks an invalid pool entry (surfel.rgen:14)
+
+
+class FrameState(NamedTuple):
+    """Everything carried frame to frame (the reference's shared device
+    state: spatial hash + surfel pool buffers standard.rs:334-358, NRD
+    history, auto-exposure average, frame counter, flip-flop camera)."""
+
+    spatial_hash: sh.SpatialHash
+    surfel_pos: jnp.ndarray     # (P,3) float32 world positions
+    surfel_dir: jnp.ndarray     # (P,)  int32 face ids, >=6 invalid
+    denoiser: denoiselib.DenoiserState
+    exposure_avg: jnp.ndarray   # () float32
+    frame_index: jnp.ndarray    # () int32
+    prev_view_proj: jnp.ndarray  # (4,4) float32
+
+
+def make_frame_state(settings: RenderSettings) -> FrameState:
+    p = settings.surfels.pool_size
+    return FrameState(
+        spatial_hash=sh.make_spatial_hash(settings.spatial_hash.capacity),
+        surfel_pos=jnp.zeros((p, 3), jnp.float32),
+        surfel_dir=jnp.full((p,), INVALID_SURFEL, jnp.int32),
+        denoiser=denoiselib.make_denoiser_state(settings.height, settings.width),
+        exposure_avg=jnp.asarray(1.0, jnp.float32),
+        frame_index=jnp.asarray(0, jnp.int32),
+        prev_view_proj=jnp.eye(4, dtype=jnp.float32),
+    )
+
+
+def _scatter_keep_first(dest_tuple, idx, mask, values_tuple, size):
+    """Deterministic pool scatter: for duplicate indices keep the
+    lowest-ranked candidate (the reference's racy last-writer is replaced
+    by a defined order)."""
+    sentinel = jnp.where(mask, idx, size)
+    order = jnp.argsort(sentinel, stable=True)
+    sidx = sentinel[order]
+    first = jnp.concatenate([jnp.ones(1, bool), sidx[1:] != sidx[:-1]])
+    sel = first & (sidx < size)
+    tgt = jnp.where(sel, sidx, size)
+    out = []
+    for dest, val in zip(dest_tuple, values_tuple):
+        out.append(dest.at[tgt].set(
+            jnp.where(sel.reshape(sel.shape + (1,) * (val.ndim - 1)), val[order], 0),
+            mode="drop",
+        ))
+    return tuple(out)
+
+
+def _pcg_scalar(v):
+    v = v.astype(jnp.uint32)
+    state = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    word = ((state >> ((state >> 28) + jnp.uint32(4))) ^ state) * jnp.uint32(277803737)
+    return ((word >> 22) ^ word).astype(jnp.int32) & 0x7FFF
+
+
+@partial(jax.jit, static_argnames=("settings", "tile", "ray_sharding"))
+def render_frame(
+    scene,
+    state: FrameState,
+    cam: cameralib.CameraSettings,
+    sky_state: skylib.SkyModelState,
+    bn_cosine: jnp.ndarray,   # (64,128,128,3) unitvec3_cosine table
+    bn_scalar: jnp.ndarray,   # (64,128,128,1) scalar table
+    settings: RenderSettings,
+    tile: int = 16384,
+    ray_sharding=None,
+):
+    """Render one frame. Returns (output_srgb (H,W,3), aux dict, new state).
+
+    ``ray_sharding``: optional ``jax.sharding.NamedSharding`` over the flat
+    ray axis — the multi-chip path (SURVEY §2.9): rays tile-sharded across
+    the mesh, scene pools replicated, GI-cache updates resolved by XLA's
+    SPMD partitioner (GSPMD inserts the all-gathers for the replicated
+    hash scatter and the halo exchanges for the à-trous shifts). When
+    sharded, tracing is untiled — the mesh is the tiling.
+    """
+    H, W = settings.height, settings.width
+    n = H * W
+    frame_index = state.frame_index
+    rand = _pcg_scalar(frame_index)
+
+    def shard(x):
+        if ray_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, ray_sharding)
+
+    def trace(scene_, o, d, tn, tx, mode):
+        if ray_sharding is None:
+            return trace_scene_tiled(scene_, o, d, tn, tx, mode=mode, tile=tile)
+        from dust_tpu.ops.traverse import trace_scene
+        return trace_scene(scene_, o, d, tn, tx, mode=mode)
+
+    # -------------------------------------------------- raygen
+    dirs = cameralib.camera_ray_dirs(cam, W, H).reshape(n, 3)
+    origins = jnp.broadcast_to(cam.position, (n, 3))
+    pix_y, pix_x = jnp.divmod(jnp.arange(n, dtype=jnp.int32), W)
+    pix = jnp.stack([pix_x, pix_y], axis=-1)
+    layer = frame_index % bn_cosine.shape[0]
+
+    def bn_fetch(table, offset):
+        x = (pix[:, 0] + offset[0] + rand) % table.shape[2]
+        y = (pix[:, 1] + offset[1] + rand) % table.shape[1]
+        return table[layer, y, x]
+
+    # -------------------------------------------------- 1. primary
+    dirs = shard(dirs)
+    origins = shard(origins)
+    primary = trace(scene, origins, dirs, cam.near, cam.far, "precise")
+    g = shade.resolve_hits(scene, primary, origins, dirs)
+    hit = g["hit"]
+
+    dirs_n = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    sky_primary = skylib.sky_radiance(sky_state, dirs_n) + skylib.sun_radiance(
+        sky_state, dirs_n
+    )
+    # miss.rmiss: sky / 3.14 straight into the denoised output.
+    sky_out = sky_primary / 3.14
+
+    # -------------------------------------------------- 2. AO + sun NEE
+    normal = g["normal"]
+    hit_loc = g["world_pos"] + normal * 0.01
+    illum = jnp.zeros((n, 3))
+
+    sun_dir = sky_state.direction
+    if settings.contribution_direct:
+        facing = (jnp.sum(normal * sun_dir, axis=-1) > 0.0) & hit
+        shadow = trace(
+            scene, hit_loc, shard(jnp.broadcast_to(sun_dir, (n, 3))),
+            0.1, jnp.where(facing, 10000.0, -1.0), "precise",
+        )
+        unoccluded = facing & ~shadow.hit
+        strength = skylib.sun_radiance(sky_state, sun_dir[None])[0] * (
+            1.0 - jnp.cos(sky_state.solar_radius)
+        )
+        ndotl = jnp.maximum(jnp.sum(normal * sun_dir, axis=-1), 0.0)
+        illum = illum + jnp.where(
+            unoccluded[:, None], strength * ndotl[:, None], 0.0
+        )
+
+    # Cosine GI direction, shared by AO and final gather (both passes fetch
+    # blue_noise[5] with offset (7,183): ambient_occlusion.rgen:27,
+    # final_gather.rgen:31).
+    cos_sample = bn_fetch(bn_cosine, (7, 183)) * 2.0 - 1.0
+    gi_dir = pk.rotate_vector_by_normal(normal, cos_sample)
+    gi_dir = jnp.where(hit[:, None], gi_dir, jnp.asarray([0.0, 1.0, 0.0]))
+
+    thr = settings.ambient_occlusion_threshold
+    ao = trace(scene, hit_loc, gi_dir, 0.1, jnp.where(hit, thr, -1.0),
+               "ao_threshold")
+    ao_hit = ao.hit
+
+    # -------------------------------------------------- 3. final gather
+    fg_active = hit & ~ao_hit
+    fg = trace(scene, hit_loc, gi_dir, thr,
+               jnp.where(fg_active, cam.far, -1.0), "rough")
+    leaf = shade.leaf_attributes(scene, fg, hit_loc, gi_dir,
+                                 settings.spatial_hash.cell_size)
+    fg_hit = fg_active & fg.hit
+    found, cached, cnt = sh.hash_get(state.spatial_hash, leaf["qpos"], leaf["face"])
+    albedo_lin = colorlib.srgb_eotf(leaf["avg_albedo"][:, :3], xp=jnp)
+    indirect = colorlib.srgb_to_acescg(
+        colorlib.acescg_to_srgb(cached, xp=jnp) * albedo_lin, xp=jnp
+    )
+    if settings.contribution_secondary_spatial_hash:
+        illum = illum + jnp.where(fg_hit[:, None], indirect, 0.0)
+    if settings.contribution_secondary_skylight:
+        gi_sky = skylib.sky_radiance(sky_state, gi_dir)
+        illum = illum + jnp.where((fg_active & ~fg.hit)[:, None], gi_sky, 0.0)
+
+    # Stochastic surfel enqueue (final_gather.rchit:56-67).
+    p_sched = 1.0 / (cnt.astype(jnp.float32) + 2.0)
+    noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
+    enqueue = fg_hit & (noise0 > p_sched)
+    pool_size = state.surfel_pos.shape[0]
+    pool_idx = jnp.arange(n, dtype=jnp.int32) % pool_size
+    surfel_pos, surfel_dir = _scatter_keep_first(
+        (state.surfel_pos, state.surfel_dir), pool_idx, enqueue,
+        (leaf["center_world"], leaf["face"]), pool_size,
+    )
+    # Radiance + hit distance image (REBLUR packing semantics).
+    hitdist = jnp.where(ao_hit, jnp.where(ao.bit == 255, ao.t, ao.t), 0.0)
+    hitdist = jnp.where(fg_hit, fg.t, hitdist)
+    radiance_img = jnp.where(hit[:, None], illum, sky_out)
+    hitdist = jnp.where(hit, hitdist, 100000.0)
+
+    # -------------------------------------------------- 4. surfel pass
+    p = pool_size
+    s_valid = surfel_dir < 6
+    s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
+    s_origin = surfel_pos + 2.01 * s_normal
+    sp_y, sp_x = jnp.divmod(jnp.arange(p, dtype=jnp.int32), bn_cosine.shape[2])
+    sp = jnp.stack([sp_x, sp_y], axis=-1)
+
+    def bn_fetch_pool(table, offset):
+        x = (sp[:, 0] + offset[0] + rand) % table.shape[2]
+        y = (sp[:, 1] + offset[1] + rand) % table.shape[1]
+        return table[layer, y, x]
+
+    s_cos = bn_fetch_pool(bn_cosine, (16, 47)) * 2.0 - 1.0
+    s_dir = pk.rotate_vector_by_normal(s_normal, s_cos)
+
+    s_payload = jnp.zeros((p, 3))
+    if settings.contribution_secondary_sunlight:
+        s_facing = (jnp.sum(s_normal * sun_dir, axis=-1) > 0.0) & s_valid
+        s_shadow = trace(
+            scene, s_origin, jnp.broadcast_to(sun_dir, (p, 3)),
+            0.1, jnp.where(s_facing, 10000.0, -1.0), "rough",
+        )
+        s_unocc = s_facing & ~s_shadow.hit
+        strength = skylib.sun_radiance(sky_state, sun_dir[None])[0] * (
+            1.0 - jnp.cos(sky_state.solar_radius)
+        )
+        s_ndotl = jnp.maximum(jnp.sum(s_normal * sun_dir, axis=-1), 0.0)
+        s_payload = s_payload + jnp.where(
+            s_unocc[:, None], strength * s_ndotl[:, None], 0.0
+        )
+
+    s_res = trace(scene, s_origin, s_dir, 0.1,
+                  jnp.where(s_valid, 10000.0, -1.0), "rough")
+    s_leaf = shade.leaf_attributes(scene, s_res, s_origin, s_dir,
+                                   settings.spatial_hash.cell_size)
+    s_hit = s_valid & s_res.hit
+    s_found, s_cached, s_cnt = sh.hash_get(
+        state.spatial_hash, s_leaf["qpos"], s_leaf["face"]
+    )
+    s_albedo_lin = colorlib.srgb_eotf(s_leaf["avg_albedo"][:, :3], xp=jnp)
+    s_bounce = colorlib.srgb_to_acescg(
+        colorlib.acescg_to_srgb(s_cached, xp=jnp) * s_albedo_lin, xp=jnp
+    )
+    s_sky = skylib.sky_radiance(sky_state, s_dir / jnp.maximum(
+        jnp.linalg.norm(s_dir, axis=-1, keepdims=True), 1e-8))
+
+    # Insert into the hash at the *surfel's own* cell: hit+found -> bounced
+    # radiance; miss -> sky (surfel.rchit:80-90, surfel.rmiss:15-24).
+    s_qpos = jnp.trunc(surfel_pos / settings.spatial_hash.cell_size).astype(jnp.int32)
+    s_face = jnp.minimum(surfel_dir, 5)
+    insert_val = jnp.where(
+        s_hit[:, None], s_bounce + s_payload, s_sky + s_payload
+    )
+    insert_ok = s_valid & (~s_hit | s_found)
+    new_hash = sh.hash_insert(
+        state.spatial_hash, s_qpos, s_face, insert_val,
+        frame_index, valid=insert_ok,
+    )
+
+    # Hit-but-not-found: stochastically enqueue the hit cell
+    # (surfel.rchit:95-105).
+    s_noise = bn_fetch_pool(bn_scalar, (114, 40))[:, 0]
+    s_p = 1.0 / (s_cnt.astype(jnp.float32) + 2.0)
+    s_requeue = s_hit & ~s_found & (s_noise > s_p)
+    surfel_pos, surfel_dir = _scatter_keep_first(
+        (surfel_pos, surfel_dir), jnp.arange(p, dtype=jnp.int32) % p, s_requeue,
+        (s_leaf["center_world"], s_leaf["face"]), p,
+    )
+
+    # -------------------------------------------------- 5. post
+    denoised, acc_hd, new_den = denoiselib.denoise(
+        state.denoiser,
+        radiance_img.reshape(H, W, 3),
+        hitdist.reshape(H, W),
+        g["depth"].reshape(H, W),
+        normal.reshape(H, W, 3),
+        g["world_pos"].reshape(H, W, 3),
+        g["motion"].reshape(H, W, 3),
+        state.prev_view_proj,
+        settings.denoiser,
+    )
+
+    hist = exposurelib.luminance_histogram(denoised, settings.exposure)
+    new_avg = exposurelib.adapt_average_luminance(
+        hist, state.exposure_avg, n, settings.exposure
+    )
+    exposure = exposurelib.exposure_value(new_avg)
+
+    albedo_img = g["albedo"][:, :3].reshape(H, W, 3)
+    output = tonemaplib.tonemap(denoised, albedo_img, exposure, transfer="srgb")
+
+    aux = dict(
+        depth=g["depth"].reshape(H, W),
+        albedo=albedo_img,
+        normal=normal.reshape(H, W, 3),
+        motion=g["motion"].reshape(H, W, 3),
+        voxel_id=g["voxel_id"].reshape(H, W),
+        radiance=radiance_img.reshape(H, W, 3),
+        hitdist=hitdist.reshape(H, W),
+        denoised=denoised,
+        exposure=exposure,
+    )
+
+    new_state = FrameState(
+        spatial_hash=new_hash,
+        surfel_pos=surfel_pos,
+        surfel_dir=surfel_dir,
+        denoiser=new_den,
+        exposure_avg=new_avg,
+        frame_index=frame_index + 1,
+        prev_view_proj=cam.view_proj,
+    )
+    return output, aux, new_state

@@ -1,0 +1,216 @@
+"""Tests for packing, sky, noise, and the spatial hash."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dust_tpu.config import SunlightSettings
+from dust_tpu.ops import packing as pk
+from dust_tpu.ops import sky as skymod
+from dust_tpu.ops.noise import load_blue_noise, LAYERS, SIZE
+from dust_tpu.ops import spatial_hash as sh
+
+
+class TestPacking:
+    def test_logluv_roundtrip(self):
+        rng = np.random.default_rng(0)
+        # HDR range: the format spec says ~1e-6..1e6 at 0.17% steps.
+        mags = 10.0 ** rng.uniform(-4, 4, size=(256, 1))
+        rgb = jnp.asarray(rng.uniform(0.05, 1.0, size=(256, 3)) * mags, jnp.float32)
+        dec = pk.decode_logluv(pk.encode_logluv(rgb))
+        rel = np.abs(np.array(dec) - np.array(rgb)) / np.maximum(np.array(rgb), 1e-6)
+        assert np.median(rel) < 0.05
+        assert rel.mean() < 0.15
+
+    def test_logluv_black_is_exact_zero(self):
+        z = pk.encode_logluv(jnp.zeros((4, 3)))
+        assert (np.array(z) == 0).all()
+        assert (np.array(pk.decode_logluv(z)) == 0).all()
+
+    def test_ycocg_roundtrip(self):
+        rng = np.random.default_rng(1)
+        rgb = jnp.asarray(rng.uniform(0, 10, size=(64, 3)), jnp.float32)
+        out = pk.ycocg_to_linear(pk.linear_to_ycocg(rgb))
+        np.testing.assert_allclose(np.array(out), np.array(rgb), rtol=1e-5, atol=1e-5)
+
+    def test_oct_normal_roundtrip(self):
+        rng = np.random.default_rng(2)
+        n = rng.normal(size=(256, 3))
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        dec = pk.decode_oct_normal(pk.encode_oct_normal(jnp.asarray(n, jnp.float32)))
+        dots = np.sum(np.array(dec) * n, axis=1)
+        assert dots.min() > 0.9999
+
+    def test_face_id_roundtrip(self):
+        for axis in range(3):
+            for sign in (1.0, -1.0):
+                n = np.zeros(3)
+                n[axis] = sign
+                fid = int(pk.normal_to_face_id(jnp.asarray(n, jnp.float32)))
+                # normal.glsl encoding: bit0=sign, bits1-2=axis
+                assert fid == axis * 2 + (1 if sign > 0 else 0)
+                back = np.array(pk.face_id_to_normal(jnp.asarray(fid)))
+                np.testing.assert_allclose(back, n)
+
+    def test_cubed_normalize(self):
+        v = jnp.asarray([[0.9, 0.2, -0.3], [-0.1, -0.8, 0.3], [0.0, 0.1, -0.9]])
+        out = np.array(pk.cubed_normalize(v))
+        np.testing.assert_allclose(out, [[1, 0, 0], [0, -1, 0], [0, 0, -1]])
+
+    def test_rotate_vector_by_normal(self):
+        rng = np.random.default_rng(3)
+        n = rng.normal(size=(128, 3))
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        t = rng.normal(size=(128, 3))
+        out = np.array(pk.rotate_vector_by_normal(
+            jnp.asarray(n, jnp.float32), jnp.asarray(t, jnp.float32)))
+        # Rotation: lengths preserved; +z maps to the normal.
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                                   np.linalg.norm(t, axis=1), rtol=1e-4)
+        z = np.array(pk.rotate_vector_by_normal(
+            jnp.asarray(n, jnp.float32), jnp.asarray([[0.0, 0.0, 1.0]] * 128)))
+        np.testing.assert_allclose(z, n, atol=1e-5)
+
+    def test_pack_radiance_hitdist_sentinel(self):
+        r = jnp.ones((2, 3))
+        packed = pk.pack_radiance_hitdist(r, jnp.asarray([0.0, 1e-9]))
+        assert float(packed[0, 3]) == 0.0
+        assert float(packed[1, 3]) >= pk.NRD_FP16_MIN
+
+
+class TestSky:
+    def test_bake_shapes_and_sanity(self):
+        st = skymod.bake_sky(SunlightSettings())
+        assert st.configs.shape == (3, 9)
+        assert st.ld_coefs.shape == (3, 6)
+        assert float(jnp.linalg.norm(st.direction)) == np.testing.assert_allclose(
+            float(jnp.linalg.norm(st.direction)), 1.0, rtol=1e-5) or True
+
+    def test_sky_radiance_positive_above_horizon(self):
+        st = skymod.bake_sky(SunlightSettings())
+        dirs = jnp.asarray([
+            [0.0, 1.0, 0.0],         # zenith
+            [0.707, 0.707, 0.0],     # 45 deg
+            [0.0, 0.01, 1.0],        # near horizon
+        ], jnp.float32)
+        rad = np.array(skymod.sky_radiance(st, dirs))
+        assert (rad > 0).all()
+        # Sky is brighter toward the sun than away from it.
+        toward = np.array(skymod.sky_radiance(st, st.direction[None]))
+        away = np.array(skymod.sky_radiance(
+            st, jnp.asarray([[-st.direction[0], st.direction[1], -st.direction[2]]])))
+        assert toward[0].sum() > away[0].sum()
+
+    def test_sun_disc(self):
+        st = skymod.bake_sky(SunlightSettings())
+        on_sun = np.array(skymod.sun_radiance(st, st.direction[None]))
+        assert on_sun.sum() > 1000.0  # the sun is very bright
+        off = np.array(skymod.sun_radiance(
+            st, jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)))
+        assert off.sum() == 0.0
+
+    def test_sun_below_horizon_black_sky(self):
+        st = skymod.bake_sky(SunlightSettings(direction=(0.0, -0.5, -0.866)))
+        rad = np.array(skymod.sky_radiance(st, jnp.asarray([[0.0, 1.0, 0.0]])))
+        assert (rad == 0).all()
+
+
+class TestNoise:
+    def test_tables(self):
+        bn = load_blue_noise()
+        assert bn.scalar.shape == (LAYERS, SIZE, SIZE, 1)
+        assert bn.unitvec3_cosine.shape == (LAYERS, SIZE, SIZE, 3)
+        s = np.array(bn.scalar[0, ..., 0])
+        assert 0.45 < s.mean() < 0.55  # uniform marginal
+        # Blue spectrum: neighbouring texels decorrelate (mean |diff| of a
+        # uniform white-noise field would be ~0.333; blue noise is higher).
+        d = np.abs(np.diff(s, axis=0)).mean()
+        assert d > 0.36, d
+
+    def test_cosine_variant_is_hemisphere(self):
+        bn = load_blue_noise()
+        v = np.array(bn.unitvec3_cosine[0].reshape(-1, 3)) * 2.0 - 1.0
+        norms = np.linalg.norm(v, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        assert v[:, 2].min() >= 0.0
+        # Cosine weighting: mean z = 2/3.
+        assert abs(v[:, 2].mean() - 2.0 / 3.0) < 0.02
+
+    def test_sample_indexing(self):
+        bn = load_blue_noise()
+        pix = jnp.asarray([[0, 0], [127, 127], [5, 9]], jnp.int32)
+        out = bn.sample(bn.scalar, pix, frame_index=3, offset=(7, 183), rand=11)
+        ref = np.array(bn.scalar[3 % LAYERS])
+        np.testing.assert_allclose(
+            np.array(out),
+            [ref[(0 + 183 + 11) % SIZE, (0 + 7 + 11) % SIZE],
+             ref[(127 + 183 + 11) % SIZE, (127 + 7 + 11) % SIZE],
+             ref[(9 + 183 + 11) % SIZE, (5 + 7 + 11) % SIZE]],
+        )
+
+
+class TestSpatialHash:
+    def _keys(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        qpos = jnp.asarray(rng.integers(-40, 40, size=(n, 3)), jnp.int32)
+        face = jnp.asarray(rng.integers(0, 6, size=n), jnp.int32)
+        return qpos, face
+
+    def test_insert_then_get(self):
+        h = sh.make_spatial_hash(4096)
+        qpos, face = self._keys(64)
+        vals = jnp.abs(jnp.asarray(np.random.default_rng(1).normal(size=(64, 3)), jnp.float32)) + 0.1
+        h = sh.hash_insert(h, qpos, face, vals, frame_index=1)
+        found, rad, cnt = sh.hash_get(h, qpos, face)
+        assert np.array(found).mean() > 0.95  # a few collisions allowed
+        ok = np.array(found)
+        rel = np.abs(np.array(rad)[ok] - np.array(vals)[ok]) / np.array(vals)[ok]
+        assert np.median(rel) < 0.05
+        assert (np.array(cnt)[ok] == 1).all()
+
+    def test_running_mean(self):
+        h = sh.make_spatial_hash(1024)
+        qpos = jnp.zeros((1, 3), jnp.int32)
+        face = jnp.zeros(1, jnp.int32)
+        h = sh.hash_insert(h, qpos, face, jnp.asarray([[1.0, 1.0, 1.0]]), 1)
+        h = sh.hash_insert(h, qpos, face, jnp.asarray([[3.0, 3.0, 3.0]]), 2)
+        found, rad, cnt = sh.hash_get(h, qpos, face)
+        assert bool(found[0])
+        assert int(cnt[0]) == 2
+        np.testing.assert_allclose(np.array(rad[0]), 2.0, rtol=0.05)
+
+    def test_batch_duplicates_combine(self):
+        h = sh.make_spatial_hash(1024)
+        qpos = jnp.zeros((8, 3), jnp.int32)
+        face = jnp.zeros(8, jnp.int32)
+        vals = jnp.broadcast_to(jnp.asarray([2.0, 2.0, 2.0]), (8, 3))
+        h = sh.hash_insert(h, qpos, face, vals, 1)
+        found, rad, cnt = sh.hash_get(h, qpos[:1], face[:1])
+        assert bool(found[0]) and int(cnt[0]) == 8
+        np.testing.assert_allclose(np.array(rad[0]), 2.0, rtol=0.05)
+
+    def test_get_missing(self):
+        h = sh.make_spatial_hash(256)
+        qpos, face = self._keys(16, seed=9)
+        found, rad, cnt = sh.hash_get(h, qpos, face)
+        assert not np.array(found).any()
+        assert (np.array(rad) == 0).all()
+
+    def test_valid_mask(self):
+        h = sh.make_spatial_hash(512)
+        qpos, face = self._keys(4, seed=2)
+        vals = jnp.ones((4, 3))
+        h = sh.hash_insert(h, qpos, face, vals, 1,
+                           valid=jnp.asarray([True, False, True, False]))
+        found, _, _ = sh.hash_get(h, qpos, face)
+        assert bool(found[0]) and bool(found[2])
+        # Unless they collide by luck, the masked ones are absent.
+        assert np.array(found).sum() <= 3
+
+    def test_sample_count_cap(self):
+        h = sh.make_spatial_hash(128)
+        qpos = jnp.zeros((1, 3), jnp.int32)
+        face = jnp.zeros(1, jnp.int32)
+        big = jnp.broadcast_to(jnp.asarray([1.0, 1.0, 1.0]), (600, 3))
+        h = sh.hash_insert(h, jnp.zeros((600, 3), jnp.int32), jnp.zeros(600, jnp.int32), big, 1)
+        _, _, cnt = sh.hash_get(h, qpos, face)
+        assert int(cnt[0]) == sh.MAX_SAMPLE_COUNT
