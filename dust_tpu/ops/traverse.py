@@ -86,7 +86,7 @@ def trace_instance(
     t_min: jnp.ndarray,       # (N,) parameter-space
     t_max: jnp.ndarray,       # (N,) parameter-space (also closest-so-far)
     mode: str = "precise",
-    max_iters: int = 1024,
+    max_iters: int = 256,
 ):
     """Trace rays against one model. Returns (t, row, bit) with t=inf miss."""
     if mode not in ("precise", "rough", "ao_threshold"):
@@ -172,7 +172,13 @@ def trace_instance(
             new["hit_row"] = jnp.where(report, v, st["hit_row"])
             new["hit_bit"] = jnp.where(report, 255, st["hit_bit"])
             new["active"] = st["active"] & ~report
-            descend = occupied & ~report
+            # Corner-grazing guard: if the cell's exit is not measurably
+            # past the entry, a descend would bounce straight back to the
+            # same s forever (seen on TPU where fp ties differently than
+            # CPU). Nudge past the graze instead.
+            graze = occupied & ~report & (s_exit <= s_entry + _STEP_EPS)
+            descend = occupied & ~report & ~graze
+            new["s"] = jnp.where(graze, s_entry + _STEP_EPS, new["s"])
 
         row = jnp.where(descend, v, 0)
         new["mlo"] = jnp.where(descend, jnp.take(mask_lo, row), st["mlo"])
@@ -238,7 +244,10 @@ def trace_instance(
         new["tmax3"] = jnp.where(
             advance[:, None], st["tmax3"] + onehot.astype(jnp.float32) * tdelta, st["tmax3"]
         )
-        new["s"] = jnp.where(advance, s_next, jnp.where(exited, st["s_exit"], st["s"]))
+        new["s"] = jnp.where(
+            advance, s_next,
+            jnp.where(exited, jnp.maximum(st["s_exit"], st["s"]), st["s"]),
+        )
         new["in_micro"] = st["in_micro"] & ~exited
         return new
 
@@ -271,7 +280,7 @@ def trace_scene(
     t_min,
     t_max,
     mode: str = "precise",
-    max_iters: int = 1024,
+    max_iters: int = 256,
 ) -> TraceResult:
     """Closest-hit trace against every instance (the TLAS role).
 
@@ -308,7 +317,7 @@ def trace_scene(
 
 def trace_scene_tiled(scene, origin, direction, t_min, t_max,
                       mode: str = "precise", tile: int = 16384,
-                      max_iters: int = 1024) -> TraceResult:
+                      max_iters: int = 256) -> TraceResult:
     """Trace in fixed-size tiles via ``lax.map`` so each tile's lockstep
     loop terminates as soon as *its* rays finish (coherent tiles — sky,
     nearby walls — stop early instead of running to the global max)."""
