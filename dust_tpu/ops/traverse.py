@@ -188,7 +188,12 @@ def trace_instance(
         pm = origin + dn * s_m[:, None]
         base = cell * 4
         mpos = jnp.clip(jnp.floor(pm).astype(jnp.int32), base, base + 3)
-        tmax3 = (mpos.astype(jnp.float32) + step01 - origin) * rcp
+        # Zero-direction axes never cross: force +inf (otherwise an origin
+        # exactly on a cell boundary yields 0 * 1e20 = 0 and a bogus hit).
+        tmax3 = jnp.where(
+            jnp.abs(dn) < 1e-20, 1e30,
+            (mpos.astype(jnp.float32) + step01 - origin) * rcp,
+        )
         new["mpos"] = jnp.where(descend[:, None], mpos, st["mpos"])
         new["tmax3"] = jnp.where(descend[:, None], tmax3, st["tmax3"])
         new["s_exit"] = jnp.where(descend, s_exit, st["s_exit"])

@@ -244,8 +244,12 @@ class VoxTree:
             leaf["material_ptr"] = np.uint32(block_lin_to_ptr[lin])
 
     def flatten(self) -> "FlatTree":
-        """Flatten into device-ready arrays (leaf rows in tree order +
-        dense 64³ block→row grid)."""
+        """Flatten into device-ready arrays + dense 64³ block→row grid.
+
+        Row order is **block-linear** (``bx*64² + by*64 + bz``), not tree
+        iteration order: the Pallas traversal derives a leaf row from a
+        popcount prefix over the block bitmap, which requires exactly this
+        ordering, and any consistent order is equivalent for shading."""
         origins, occ, act, mat = [], [], [], []
         for origin, leaf in self.iter_leaf():
             o = int(leaf["occupancy"])
@@ -260,6 +264,11 @@ class VoxTree:
         occ = np.asarray(occ, dtype=np.uint64)
         act = np.asarray(act, dtype=np.uint64)
         mat = np.asarray(mat, dtype=np.uint32)
+        if n:
+            b = origins >> LEAF_LOG2
+            lin = (b[:, 0].astype(np.int64) * BLOCKS_PER_AXIS + b[:, 1]) * BLOCKS_PER_AXIS + b[:, 2]
+            order = np.argsort(lin)
+            origins, occ, act, mat = origins[order], occ[order], act[order], mat[order]
 
         grid = np.full((BLOCKS_PER_AXIS,) * 3, -1, dtype=np.int32)
         if n:

@@ -1,0 +1,63 @@
+"""Dynamic scene edits + refit (BASELINE config #4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dust_tpu.ops.traverse import trace_scene
+from dust_tpu.render.edits import SceneEditor
+from dust_tpu.render.scene import build_device_scene
+from dust_tpu.vox import procgen
+from dust_tpu.vox.loader import load_vox_scene
+
+
+def _ray_down_at(scene_dev, x, z, t_max=500.0):
+    o = jnp.asarray([[x, 200.0, z]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    return trace_scene(scene_dev, o, d, 0.1, t_max)
+
+
+class TestSceneEditor:
+    def test_carve_and_build(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+
+        # Baseline: a ray straight down through the teapot center hits.
+        before = _ray_down_at(dev, 0.0, 0.0)
+        assert bool(before.hit[0])
+
+        # Build a tall pillar right under the ray, higher than the pot.
+        geo = vox.geometries[0]
+        size = geo.size
+        cx, cz = size[0] // 2, size[2] // 2
+        pillar = np.array([[cx, y, cz] for y in range(size[1])])
+        ed.set_voxels(0, pillar, palette_idx=3)
+        dev2 = ed.refit()
+        after = _ray_down_at(dev2, 0.0, 0.0)
+        assert bool(after.hit[0])
+        assert float(after.t[0]) < float(before.t[0]) - 0.5  # hits higher up
+
+        # Now carve the pillar AND the voxels below it: ray falls through
+        # to deeper geometry or misses.
+        ed.set_voxels(0, pillar, palette_idx=None)
+        col = np.array([[cx, y, cz] for y in range(size[1])])
+        ed.set_voxels(0, col, palette_idx=None)
+        dev3 = ed.refit()
+        res = _ray_down_at(dev3, 0.0, 0.0)
+        assert (not bool(res.hit[0])) or float(res.t[0]) > float(after.t[0]) + 0.5
+
+    def test_refit_updates_materials(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        n_before = len(np.array(dev.materials))
+        ed.set_voxel(0, (0, 0, 0), palette_idx=7)
+        dev2 = ed.refit()
+        n_after = len(np.array(dev2.materials))
+        assert n_after == n_before + 1
+
+    def test_noop_refit_is_identity(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        assert ed.refit() is dev

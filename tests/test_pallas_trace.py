@@ -1,0 +1,110 @@
+"""Pallas HDDA kernel vs the XLA wavefront tracer (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dust_tpu.ops import camera as cam
+from dust_tpu.ops.pallas_trace import build_pallas_tables, trace_instance_pallas
+from dust_tpu.ops.traverse import trace_instance
+from dust_tpu.render.scene import build_device_scene, cell_info_grid
+from dust_tpu.vox import procgen
+from dust_tpu.vox.loader import load_vox_scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = load_vox_scene(procgen.teapot_scene_bytes())
+    geo = scene.geometries[0]
+    tables = build_pallas_tables(geo.flat)
+    cell = jnp.asarray(cell_info_grid(geo.flat.leaf_grid))
+    mask_lo = jnp.asarray(geo.flat.mask_lo)
+    mask_hi = jnp.asarray(geo.flat.mask_hi)
+    inst = scene.instances[0]
+    w2o = np.linalg.inv(np.asarray(inst.transform, np.float64)).astype(np.float32)
+    return tables, cell, mask_lo, mask_hi, w2o
+
+
+def _rays(w2o, w=48, h=48, eye=(90, 60, 90)):
+    c2w = cam.look_at(eye, (0, 0, 0))
+    cs = cam.camera_settings(c2w, np.pi / 3, 0.1, 1000.0, w, h)
+    dirs = np.array(cam.camera_ray_dirs(cs, w, h).reshape(-1, 3))
+    origins = np.broadcast_to(np.array(cs.position), dirs.shape)
+    o = origins @ w2o[:3, :3].T + w2o[:3, 3]
+    d = dirs @ w2o[:3, :3].T
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("mode", ["precise", "rough", "ao_threshold"])
+def test_pallas_matches_xla(setup, mode):
+    tables, cell, mask_lo, mask_hi, w2o = setup
+    if mode == "ao_threshold":
+        # AO rays start near surfaces; random interior origins make the
+        # 8-unit threshold meaningful.
+        rng = np.random.default_rng(11)
+        n = 2048
+        o_w = rng.uniform(-30, 30, size=(n, 3)).astype(np.float32)
+        d_w = rng.normal(size=(n, 3)).astype(np.float32)
+        o = jnp.asarray(o_w @ w2o[:3, :3].T + w2o[:3, 3])
+        d = jnp.asarray(d_w @ w2o[:3, :3].T)
+    else:
+        o, d = _rays(w2o)
+        n = o.shape[0]
+    tmin = jnp.full(n, 0.1)
+    tmax = jnp.full(n, 8.0 if mode == "ao_threshold" else 1000.0)
+
+    t_x, row_x, bit_x = trace_instance(cell, mask_lo, mask_hi, o, d, tmin, tmax,
+                                       mode=mode)
+    t_p, row_p, bit_p = trace_instance_pallas(tables, o, d, tmin, tmax,
+                                              mode=mode, interpret=True)
+
+    hx = np.isfinite(np.array(t_x))
+    hp = np.isfinite(np.array(t_p))
+    agree = (hx == hp).mean()
+    assert agree >= 0.995, (mode, hx.sum(), hp.sum(), agree)
+    both = hx & hp
+    if mode == "ao_threshold":
+        assert both.sum() > 50  # the test must exercise real hits
+    tx, tp = np.array(t_x)[both], np.array(t_p)[both]
+    close = np.isclose(tx, tp, rtol=2e-3, atol=2e-3)
+    assert both.sum() == 0 or close.mean() >= 0.99, (mode, close.mean())
+    if mode == "precise":
+        assert (np.array(row_x)[both][close] == np.array(row_p)[both][close]).mean() >= 0.99
+        assert (np.array(bit_x)[both][close] == np.array(bit_p)[both][close]).mean() >= 0.99
+
+
+def test_pallas_interior_rays(setup):
+    tables, cell, mask_lo, mask_hi, w2o = setup
+    rng = np.random.default_rng(5)
+    n = 1024
+    o_w = rng.uniform(-40, 40, size=(n, 3)).astype(np.float32)
+    d_w = rng.normal(size=(n, 3)).astype(np.float32)
+    o = jnp.asarray(o_w @ w2o[:3, :3].T + w2o[:3, 3])
+    d = jnp.asarray(d_w @ w2o[:3, :3].T)
+    tmin = jnp.full(n, 0.1)
+    tmax = jnp.full(n, 500.0)
+
+    t_x, _, _ = trace_instance(cell, mask_lo, mask_hi, o, d, tmin, tmax)
+    t_p, _, _ = trace_instance_pallas(tables, o, d, tmin, tmax, interpret=True)
+    hx = np.isfinite(np.array(t_x))
+    hp = np.isfinite(np.array(t_p))
+    assert (hx == hp).mean() >= 0.99
+    both = hx & hp
+    assert np.isclose(np.array(t_x)[both], np.array(t_p)[both],
+                      rtol=2e-3, atol=2e-3).mean() >= 0.99
+
+
+def test_rank_table_row_identity(setup):
+    # leaf_row derived from rank+popcount must match the dense grid rows.
+    scene = load_vox_scene(procgen.teapot_scene_bytes())
+    flat = scene.geometries[0].flat
+    tables = build_pallas_tables(flat)
+    l2 = np.array(tables.l2_word).reshape(-1).view(np.uint32)
+    rank = np.array(tables.l2_rank).reshape(-1)
+    b = flat.leaf_origin >> 2
+    for i in range(0, flat.num_leaves, max(flat.num_leaves // 50, 1)):
+        lin = int((b[i, 0] * 64 + b[i, 1]) * 64 + b[i, 2])
+        w, bit = lin >> 5, lin & 31
+        row = rank[w] + int(l2[w] & ((1 << bit) - 1)).bit_count()
+        assert row == i
+        assert flat.leaf_grid[b[i, 0], b[i, 1], b[i, 2]] == i
