@@ -114,8 +114,9 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=True):
     row = (idx >> 7) & 7
     lane = idx & 127
 
-    if nchunks == 1:
-        t = tab_ref[0]
+    def one_chunk(c):
+        """All indices in chunk ``c``: 8 sublane selects, no chunk test."""
+        t = tab_ref[c]
         out = jnp.zeros(shape, jnp.int32)
         for r in range(8):
             trow = jnp.broadcast_to(t[r : r + 1, :], shape)
@@ -123,22 +124,38 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=True):
             out = jnp.where(row == r, cand, out)
         return out
 
-    def chunk_body(c, out):
-        def do_chunk(out):
-            t = tab_ref[c]
-            res = out
-            for r in range(8):
-                trow = jnp.broadcast_to(t[r : r + 1, :], shape)
-                cand = jnp.take_along_axis(trow, lane, axis=1)
-                res = jnp.where((chunk == c) & (row == r), cand, res)
-            return res
+    if nchunks == 1:
+        return one_chunk(0)
 
-        if gate:
-            return jax.lax.cond(jnp.any(chunk == c), do_chunk, lambda o: o, out)
-        return do_chunk(out)
+    def general():
+        def chunk_body(c, out):
+            def do_chunk(out):
+                t = tab_ref[c]
+                res = out
+                for r in range(8):
+                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
+                    cand = jnp.take_along_axis(trow, lane, axis=1)
+                    res = jnp.where((chunk == c) & (row == r), cand, res)
+                return res
 
-    return jax.lax.fori_loop(0, nchunks, chunk_body,
-                             jnp.zeros(shape, jnp.int32))
+            if gate:
+                return jax.lax.cond(jnp.any(chunk == c), do_chunk, lambda o: o, out)
+            return do_chunk(out)
+
+        return jax.lax.fori_loop(0, nchunks, chunk_body,
+                                 jnp.zeros(shape, jnp.int32))
+
+    # Coherent tiles usually land in one chunk: single dynamic-indexed
+    # chunk with no per-chunk masking.
+    cmin = jnp.min(chunk)
+    return jax.lax.cond(jnp.max(chunk) == cmin, lambda: one_chunk(cmin), general)
+
+
+def _masked_idx(mask, idx):
+    """Replace inactive lanes' indices with an active lane's index so the
+    uniform-chunk fast path stays uniform."""
+    fill = jnp.max(jnp.where(mask, idx, 0))
+    return jnp.where(mask, idx, fill)
 
 
 def _gather_l1(l1, idx):
@@ -256,7 +273,7 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 widx = lb >> 5
                 w2 = jax.lax.cond(
                     jnp.any(occ1),
-                    lambda: _gather_chunked(l2w_ref, jnp.where(occ1, widx, 0), 8),
+                    lambda: _gather_chunked(l2w_ref, _masked_idx(occ1, widx), 8),
                     lambda: jnp.zeros(shape, jnp.int32),
                 )
                 occ2 = (_bit_test_i32(w2, lb & 31) != 0) & occ1
@@ -295,12 +312,14 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             st = jax.lax.while_loop(cond, body, st)
             return (st[0] != 0, st[1], st[2] != 0) + st[3:9]
 
-        for _ in range(rounds):
+        def round_body(rstate):
+            active_i, s, hit_s, hit_row, hit_bit, rnd = rstate
+            active = active_i != 0
             (active, s, cand, cword, cwidx, cbit,
              cbx, cby, cbz) = march(active, s)
 
             # Leaf row from the rank table + in-word popcount.
-            rank = _gather_chunked(l2r_ref, jnp.where(cand, cwidx, 0), 8)
+            rank = _gather_chunked(l2r_ref, _masked_idx(cand, cwidx), 8)
             row = rank + _popcount_below(cword, cbit)
 
             # Block entry/exit.
@@ -317,9 +336,11 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 hit_s = jnp.where(ok, jnp.maximum(blk_in, 0.0), hit_s)
                 hit_row = jnp.where(ok, row, hit_row)
                 active = active & ~ok
-                s = jnp.where(cand & active, jnp.maximum(blk_out, s + _STEP_EPS), s)
+                s = jnp.where(cand & active,
+                              jnp.maximum(blk_out, s + _STEP_EPS), s)
                 active = active & (s < s_end)
-                continue
+                return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                        rnd + jnp.int32(1))
 
             if mode == "ao_threshold":
                 thr_inside = cand & active & (s <= s_stop) & (s_stop <= blk_out)
@@ -331,10 +352,9 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
 
             # ---- micro DDA (hit.rint:43-137) -------------------------
             in_micro = cand & active
-            mask_lo = _gather_chunked(mlo_ref, jnp.where(in_micro, row, 0),
-                                      mask_chunks)
-            mask_hi = _gather_chunked(mhi_ref, jnp.where(in_micro, row, 0),
-                                      mask_chunks)
+            mrow = _masked_idx(in_micro, row)
+            mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks)
+            mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks)
 
             s_m = jnp.maximum(s, s_min)
             pmx = ox + dx * s_m
@@ -403,6 +423,16 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             resumed = cand & active & ~jnp.isfinite(hit_s)
             s = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS), s)
             active = active & (s < s_end) & ~(cand & jnp.isfinite(hit_s))
+            return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                    rnd + jnp.int32(1))
+
+        def round_cond(rstate):
+            return jnp.any(rstate[0] != 0) & (rstate[-1] < rounds)
+
+        rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                  jnp.int32(0))
+        rstate = jax.lax.while_loop(round_cond, round_body, rstate)
+        hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
 
         hit_ref[:] = hit_s
         row_ref[:] = hit_row
@@ -438,7 +468,7 @@ def _trace_pallas(l1, l2w, l2r, mlo, mhi, ox, oy, oz, dx, dy, dz,
 
 
 def trace_instance_pallas(tables, origin, direction, t_min, t_max,
-                          mode: str = "precise", rounds: int = 4,
+                          mode: str = "precise", rounds: int = 16,
                           interpret: bool = False):
     """Trace rays against one model with the Pallas kernel.
 
@@ -473,3 +503,65 @@ def trace_instance_pallas(tables, origin, direction, t_min, t_max,
     )
     hit_s = hit_s.reshape(-1)[:n]
     return hit_s / dlen, row.reshape(-1)[:n], bit.reshape(-1)[:n]
+
+
+def stack_tables(tables: list[PallasTables]):
+    """Stack per-model tables into (M, ...) arrays padded to a common
+    mask-chunk count (for DeviceScene storage)."""
+    m = len(tables)
+    cl = max(t.mask_chunks for t in tables) if tables else 1
+    l1 = np.stack([t.l1 for t in tables]) if m else np.zeros((0, 8, 128), np.int32)
+    l2w = np.stack([t.l2_word for t in tables]) if m else np.zeros((0, 8, 8, 128), np.int32)
+    l2r = np.stack([t.l2_rank for t in tables]) if m else np.zeros((0, 8, 8, 128), np.int32)
+    mlo = np.zeros((m, cl, 8, 128), np.int32)
+    mhi = np.zeros((m, cl, 8, 128), np.int32)
+    for i, t in enumerate(tables):
+        mlo[i, : t.mask_chunks] = t.mask_lo
+        mhi[i, : t.mask_chunks] = t.mask_hi
+    return l1, l2w, l2r, mlo, mhi
+
+
+def _xform_point(a34, p):
+    return jnp.einsum("ij,nj->ni", a34[:, :3], p, precision="highest") + a34[:, 3]
+
+
+def _xform_dir(a34, d):
+    return jnp.einsum("ij,nj->ni", a34[:, :3], d, precision="highest")
+
+
+def trace_scene_pallas(scene, origin, direction, t_min, t_max,
+                       mode: str = "precise", rounds: int = 16,
+                       interpret: bool = False):
+    """Closest-hit trace against every instance with the Pallas kernel —
+    same contract as :func:`dust_tpu.ops.traverse.trace_scene`."""
+    from dust_tpu.ops.traverse import TraceResult
+
+    n = origin.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    best_t = jnp.full(n, jnp.inf)
+    best_inst = -jnp.ones(n, jnp.int32)
+    best_row = -jnp.ones(n, jnp.int32)
+    best_bit = -jnp.ones(n, jnp.int32)
+
+    for i, m in enumerate(scene.inst_model):
+        tables = PallasTables(
+            l1=scene.pl_l1[m], l2_word=scene.pl_l2w[m], l2_rank=scene.pl_l2r[m],
+            mask_lo=scene.pl_mlo[m], mask_hi=scene.pl_mhi[m],
+        )
+        w2o = scene.world_to_obj[i]
+        o_obj = _xform_point(w2o, origin)
+        d_obj = _xform_dir(w2o, direction)
+        cap = jnp.minimum(t_max, best_t)
+        t, row, bit = trace_instance_pallas(
+            tables, o_obj, d_obj, t_min, cap, mode=mode, rounds=rounds,
+            interpret=interpret,
+        )
+        closer = t < best_t
+        best_t = jnp.where(closer, t, best_t)
+        best_inst = jnp.where(closer, i, best_inst)
+        best_row = jnp.where(closer, row, best_row)
+        best_bit = jnp.where(closer, bit, best_bit)
+
+    return TraceResult(t=best_t, inst=best_inst, row=best_row, bit=best_bit)

@@ -38,6 +38,11 @@ def chebyshev_distance_field(occupied: np.ndarray, max_dist: int = MAX_SKIP) -> 
     is a few milliseconds on the host and fully vectorised.
     """
     occ = occupied.astype(bool)
+    from dust_tpu import native
+    if occ.shape == (64, 64, 64) and native.available():
+        nat = native.chebyshev(occ, max_dist)
+        if nat is not None:
+            return nat
     dist = np.full(occ.shape, max_dist, dtype=np.int32)
     dist[occ] = 0
     frontier = occ
@@ -79,6 +84,12 @@ class DeviceScene(NamedTuple):
     # Shared material/palette pools.
     materials: jnp.ndarray      # (Mtot,) int32 palette indices
     palette: jnp.ndarray        # (256, 4) float32, 0..1 sRGB-encoded RGBA
+    # Pallas traversal tables (stacked over models; see ops/pallas_trace).
+    pl_l1: jnp.ndarray          # (M, 8, 128) int32
+    pl_l2w: jnp.ndarray         # (M, 8, 8, 128) int32
+    pl_l2r: jnp.ndarray         # (M, 8, 8, 128) int32
+    pl_mlo: jnp.ndarray         # (M, CL, 8, 128) int32
+    pl_mhi: jnp.ndarray         # (M, CL, 8, 128) int32
     # Instances.
     inst_model: tuple           # static tuple of python ints (len I)
     obj_to_world: jnp.ndarray   # (I, 3, 4) float32
@@ -113,6 +124,8 @@ def _invert_affines(a34: jnp.ndarray) -> jnp.ndarray:
 
 def build_device_scene(scene: VoxScene) -> DeviceScene:
     """Assemble a :class:`DeviceScene` from a loaded ``.vox`` scene."""
+    from dust_tpu.ops.pallas_trace import build_pallas_tables, stack_tables
+
     model_ids = sorted(scene.geometries)
     geos = [scene.geometries[m] for m in model_ids]
     id_to_slot = {m: i for i, m in enumerate(model_ids)}
@@ -143,6 +156,8 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         np.concatenate(materials) if materials else np.zeros(1, dtype=np.int32)
     )
 
+    tables = stack_tables([build_pallas_tables(g.flat) for g in geos])
+
     inst_model = tuple(id_to_slot[inst.model_id] for inst in scene.instances)
     o2w = np.stack([inst.transform[:3, :4] for inst in scene.instances]).astype(
         np.float32
@@ -158,6 +173,11 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         avg_albedo=jnp.asarray(albedo),
         materials=jnp.asarray(materials),
         palette=jnp.asarray(scene.palette.astype(np.float32) / 255.0),
+        pl_l1=jnp.asarray(tables[0]),
+        pl_l2w=jnp.asarray(tables[1]),
+        pl_l2r=jnp.asarray(tables[2]),
+        pl_mlo=jnp.asarray(tables[3]),
+        pl_mhi=jnp.asarray(tables[4]),
         inst_model=inst_model,
         obj_to_world=o2w_j,
         world_to_obj=_invert_affines(o2w_j) if len(inst_model) else jnp.zeros((0, 3, 4)),

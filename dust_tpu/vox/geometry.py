@@ -66,16 +66,24 @@ def build_geometry(
     size: tuple[int, int, int],
     unit_size: float = 1.0,
 ) -> VoxGeometry:
-    """Assemble flat geometry from a built tree + collector output.
-
-    Implements the per-leaf loop of ``VoxGeometry::from_tree``
-    (geometry.rs:66-127) vectorised: material_ptr assignment from the
-    collector prefix sum, then the average-albedo pack — palette u8 RGBA
-    summed over the leaf's voxels, divided by 255·n, sRGB-OETF'd, packed
-    R10G10B10A2.
+    """Assemble flat geometry from a built tree + collector output
+    (python path; the native loader uses :func:`build_geometry_from_flat`).
     """
     tree.set_material_ptrs(block_ptr)
-    flat = tree.flatten()
+    return build_geometry_from_flat(tree.flatten(), materials, palette, size, unit_size)
+
+
+def build_geometry_from_flat(
+    flat,
+    materials: np.ndarray,
+    palette: np.ndarray,
+    size: tuple[int, int, int],
+    unit_size: float = 1.0,
+) -> VoxGeometry:
+    """Per-leaf attribute pass of ``VoxGeometry::from_tree``
+    (geometry.rs:66-127) vectorised over a FlatTree: the average-albedo
+    pack — palette u8 RGBA summed over the leaf's voxels, divided by
+    255·n, sRGB-OETF'd, packed R10G10B10A2."""
     L = flat.num_leaves
 
     avg = np.zeros((L, 4), dtype=np.float64)

@@ -125,6 +125,10 @@ def load_vox_scene(data: bytes, unit_size: float = 1.0) -> VoxScene:
 
         traverse(f.root, np.eye(4), (0, 0, 0), np.eye(3, dtype=np.int32), None)
 
+    from dust_tpu import native
+    from dust_tpu.vox.geometry import build_geometry_from_flat
+    from dust_tpu.voxtree.tree import FlatTree
+
     geometries: dict[int, VoxGeometry] = {}
     for mid in sorted({i for i, _, _ in instances}):
         model = f.models[mid]
@@ -135,12 +139,20 @@ def load_vox_scene(data: bytes, unit_size: float = 1.0) -> VoxScene:
         coords = np.stack(
             [v[:, 0], v[:, 2], model.size[1] - 1 - v[:, 1]], axis=1
         )
-        tree = VoxTree.from_voxels(coords)
-        materials, block_ptr = collect_material_indices(coords, v[:, 3])
         size = (model.size[0], model.size[2], model.size[1])
-        geometries[mid] = build_geometry(
-            tree, materials, block_ptr, f.palette, size, unit_size
-        )
+        nat = native.build_leaves(coords, v[:, 3]) if native.available() else None
+        if nat is not None:
+            occupancy, block_ptr, materials = nat
+            flat = FlatTree.from_dense_pools(occupancy, block_ptr)
+            geometries[mid] = build_geometry_from_flat(
+                flat, materials, f.palette, size, unit_size
+            )
+        else:
+            tree = VoxTree.from_voxels(coords)
+            materials, block_ptr = collect_material_indices(coords, v[:, 3])
+            geometries[mid] = build_geometry(
+                tree, materials, block_ptr, f.palette, size, unit_size
+            )
 
     return VoxScene(
         geometries=geometries,
