@@ -45,15 +45,26 @@ _EPS = 1e-3      # reference DDA exit epsilon (hit.rint:107)
 _STEP_EPS = 1e-4  # cell-sampling nudge
 
 LANES = 128
-ROWS = 32        # sublane rows per program -> 4096 rays/program
+# Sublane rows per program (4096 rays at 32). Overridable for tuning
+# experiments via env; 32 measured best so far on v5e.
+import os as _os
+ROWS = int(_os.environ.get("DUST_PALLAS_ROWS", "8"))
 
 
 class PallasTables(NamedTuple):
     """VMEM-resident acceleration tables for one model."""
 
-    l1: np.ndarray       # (8, 128) int32 — 16³ cell bitmap (row 0 used)
-    l2_word: np.ndarray  # (8, 8, 128) int32 — 64³ block bitmap
-    l2_rank: np.ndarray  # (8, 8, 128) int32 — exclusive popcount prefix
+    # 16³ L1 cells (16 voxels each): chebyshev distance to the nearest
+    # occupied cell, clamped to 15, packed 8 nibbles per i32 (512 words in
+    # one (8,128) chunk; one lane shuffle per lookup). 0 = occupied.
+    l1: np.ndarray       # (8, 128) int32 packed nibbles (rows 0-3 used)
+    # Per-cell L2 words, indexed by cell id cl in [0,4096): w0 = blocks
+    # 0-31 (local index), w1 = blocks 32-63; rank0/rank1 the matching
+    # exclusive popcount prefixes (leaf row = rank + popcount below bit).
+    l2_w0: np.ndarray    # (4, 8, 128) int32
+    l2_w1: np.ndarray    # (4, 8, 128) int32
+    l2_r0: np.ndarray    # (4, 8, 128) int32
+    l2_r1: np.ndarray    # (4, 8, 128) int32
     mask_lo: np.ndarray  # (CL, 8, 128) int32
     mask_hi: np.ndarray  # (CL, 8, 128) int32
 
@@ -63,26 +74,54 @@ class PallasTables(NamedTuple):
 
 
 def build_pallas_tables(flat) -> PallasTables:
-    """Build kernel tables from a FlatTree (rows MUST be block-linear
-    ordered, which :meth:`VoxTree.flatten` guarantees)."""
+    """Build kernel tables from a FlatTree (rows MUST be in hierarchy
+    order, which :meth:`VoxTree.flatten` guarantees).
+
+    L2 word layout is **cell-grouped**: word ``cl*2 + (local>>5)`` holds
+    the occupancy bits of L1 cell ``cl``'s 64 blocks — so a ray entering
+    an occupied cell fetches its two words once and steps blocks from
+    registers."""
+    from dust_tpu.voxtree.tree import hierarchy_key
+
     b = flat.leaf_origin >> 2
-    lin = (b[:, 0].astype(np.int64) * 64 + b[:, 1]) * 64 + b[:, 2]
-    assert np.all(np.diff(lin) > 0), "flat rows must be block-linear sorted"
+    key = hierarchy_key(b)
+    assert np.all(np.diff(key) > 0), "flat rows must be hierarchy sorted"
 
     l2 = np.zeros(8192, dtype=np.uint32)
-    np.bitwise_or.at(l2, lin >> 5, np.uint32(1) << (lin & 31).astype(np.uint32))
+    np.bitwise_or.at(l2, key >> 5, np.uint32(1) << (key & 31).astype(np.uint32))
     pop = np.array([int(w).bit_count() for w in l2], dtype=np.int64)
     rank = np.zeros(8192, dtype=np.int64)
     np.cumsum(pop[:-1], out=rank[1:])
+    # Split by half: word index = cl*2 + half  ->  tables indexed by cl.
+    l2_w0, l2_w1 = l2[0::2], l2[1::2]
+    l2_r0, l2_r1 = rank[0::2], rank[1::2]
 
-    cell = b >> 2  # 16³ cells
-    cl = (cell[:, 0].astype(np.int64) * 16 + cell[:, 1]) * 16 + cell[:, 2]
-    l1 = np.zeros(128, dtype=np.uint32)
-    np.bitwise_or.at(l1, cl >> 5, np.uint32(1) << (cl & 31).astype(np.uint32))
+    # L1 chebyshev skip field over 16³ cells, packed 8 nibbles per word.
+    cell = b >> 2
+    occ16 = np.zeros((16, 16, 16), dtype=bool)
+    occ16[cell[:, 0], cell[:, 1], cell[:, 2]] = True
+    dist = np.full((16, 16, 16), 15, dtype=np.int64)
+    dist[occ16] = 0
+    frontier = occ16.copy()
+    for dd in range(1, 15):
+        if frontier.all():
+            break
+        p = np.pad(frontier, 1, constant_values=False)
+        grown = np.zeros_like(frontier)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    grown |= p[dx:dx + 16, dy:dy + 16, dz:dz + 16]
+        dist[grown & ~frontier] = dd
+        frontier = grown
+    flat_dist = dist.reshape(-1)  # x-major (cx*256 + cy*16 + cz)
+    l1 = np.zeros(512, dtype=np.uint32)
+    for i in range(4096):
+        l1[i >> 3] |= np.uint32(flat_dist[i]) << ((i & 7) * 4)
     l1_pad = np.zeros((8, 128), dtype=np.uint32)
-    l1_pad[0] = l1
+    l1_pad.reshape(-1)[:512] = l1
 
-    n = len(lin)
+    n = len(key)
     chunks = max((n + 1023) // 1024, 1)
     mlo = np.zeros(chunks * 1024, dtype=np.uint32)
     mhi = np.zeros(chunks * 1024, dtype=np.uint32)
@@ -90,8 +129,10 @@ def build_pallas_tables(flat) -> PallasTables:
     mhi[:n] = flat.mask_hi
     return PallasTables(
         l1=l1_pad.view(np.int32),
-        l2_word=l2.view(np.int32).reshape(8, 8, 128),
-        l2_rank=rank.astype(np.int32).reshape(8, 8, 128),
+        l2_w0=l2_w0.view(np.int32).reshape(4, 8, 128),
+        l2_w1=l2_w1.view(np.int32).reshape(4, 8, 128),
+        l2_r0=l2_r0.astype(np.int32).reshape(4, 8, 128),
+        l2_r1=l2_r1.astype(np.int32).reshape(4, 8, 128),
         mask_lo=mlo.view(np.int32).reshape(chunks, 8, 128),
         mask_hi=mhi.view(np.int32).reshape(chunks, 8, 128),
     )
@@ -101,7 +142,7 @@ def build_pallas_tables(flat) -> PallasTables:
 # In-kernel helpers
 # ---------------------------------------------------------------------------
 
-def _gather_chunked(tab_ref, idx, nchunks, gate=True):
+def _gather_chunked(tab_ref, idx, nchunks, gate=False):
     """Gather int32 ``tab_ref[idx]`` where ``tab_ref`` is a VMEM ref of
     shape (nchunks, 8, 128) and idx (R, 128) in [0, nchunks*1024). Built
     from lane shuffles + sublane selects; chunks no ray touches are
@@ -127,6 +168,19 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=True):
     if nchunks == 1:
         return one_chunk(0)
 
+    if not gate:
+        # Reduction-free path: every chunk unconditionally. Scalar<->vector
+        # sync stalls from any()/cond gating cost far more than the extra
+        # shuffles on this hardware (measured ~2800 vs ~400 cycles/iter).
+        out = jnp.zeros(shape, jnp.int32)
+        for c in range(nchunks):
+            t = tab_ref[c]
+            for r in range(8):
+                trow = jnp.broadcast_to(t[r : r + 1, :], shape)
+                cand = jnp.take_along_axis(trow, lane, axis=1)
+                out = jnp.where((chunk == c) & (row == r), cand, out)
+        return out
+
     def general():
         def chunk_body(c, out):
             def do_chunk(out):
@@ -138,9 +192,7 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=True):
                     res = jnp.where((chunk == c) & (row == r), cand, res)
                 return res
 
-            if gate:
-                return jax.lax.cond(jnp.any(chunk == c), do_chunk, lambda o: o, out)
-            return do_chunk(out)
+            return jax.lax.cond(jnp.any(chunk == c), do_chunk, lambda o: o, out)
 
         return jax.lax.fori_loop(0, nchunks, chunk_body,
                                  jnp.zeros(shape, jnp.int32))
@@ -158,10 +210,19 @@ def _masked_idx(mask, idx):
     return jnp.where(mask, idx, fill)
 
 
-def _gather_l1(l1, idx):
-    """Gather from the 128-word L1 bitmap (single row)."""
-    trow = jnp.broadcast_to(l1[0:1, :], idx.shape)
-    return jnp.take_along_axis(trow, idx & 127, axis=1)
+def _gather_l1_dist(l1, cl):
+    """L1 chebyshev distance for cell index ``cl`` in [0,4096): one
+    sublane-select gather over 512 packed words + nibble extract."""
+    widx = cl >> 3
+    row = (widx >> 7) & 7
+    lane = widx & 127
+    word = jnp.zeros(cl.shape, jnp.int32)
+    for r in range(4):  # 512 words occupy rows 0-3
+        trow = jnp.broadcast_to(l1[r : r + 1, :], cl.shape)
+        cand = jnp.take_along_axis(trow, lane, axis=1)
+        word = jnp.where(row == r, cand, word)
+    shift = ((cl & 7) * 4).astype(jnp.uint32)
+    return ((word.astype(jnp.uint32) >> shift) & 15).astype(jnp.int32)
 
 
 def _bit_test_i32(word, bit):
@@ -197,7 +258,8 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                  march_cap: int, micro_cap: int):
     """Build the kernel body (static configuration baked in)."""
 
-    def kernel(l1_ref, l2w_ref, l2r_ref, mlo_ref, mhi_ref,
+    def kernel(l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+               mlo_ref, mhi_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                smin_ref, smax_ref,
                hit_ref, row_ref, bit_ref):
@@ -225,26 +287,35 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
         hit_row = jnp.full(shape, -1, jnp.int32)
         hit_bit = jnp.full(shape, -1, jnp.int32)
 
-        l1t = l1_ref[:]  # tiny; loaded once
+        l1t = l1_ref[:]  # packed L1 skip field; tiny, loaded once
 
         def march(active, s):
             """Walk L1/L2 until every active ray freezes on an occupied
             block or dies. Returns candidate info. Loop-carried masks are
-            int32 0/1 — Mosaic cannot yield i1 vectors from scf loops."""
+            int32 0/1 — Mosaic cannot yield i1 vectors from scf loops.
+
+            The two L2 words of the L1 cell a ray is inside are carried in
+            registers (cell-grouped word layout); the expensive chunked
+            gather runs only on iterations where some ray enters a new
+            occupied cell."""
             cand = jnp.zeros(shape, jnp.bool_)
-            cword = jnp.zeros(shape, jnp.int32)   # L2 word at candidate
-            cwidx = jnp.zeros(shape, jnp.int32)   # word index
+            cword = jnp.zeros(shape, jnp.int32)   # word holding the cand bit
+            cwidx = jnp.zeros(shape, jnp.int32)   # its index in the table
             cbit = jnp.zeros(shape, jnp.int32)    # bit within word
             cbx = jnp.zeros(shape, jnp.int32)
             cby = jnp.zeros(shape, jnp.int32)
             cbz = jnp.zeros(shape, jnp.int32)
+            w0 = jnp.zeros(shape, jnp.int32)
+            w1 = jnp.zeros(shape, jnp.int32)
+            reg_cl = jnp.full(shape, -1, jnp.int32)
 
             def cond(st):
                 active_i, s, cand_i, i = st[0], st[1], st[2], st[-1]
                 return jnp.any((active_i != 0) & (cand_i == 0)) & (i < march_cap)
 
             def body(st):
-                active_i, s, cand_i, cword, cwidx, cbit, cbx, cby, cbz, i = st
+                (active_i, s, cand_i, cword, cwidx, cbit, cbx, cby, cbz,
+                 w0, w1, reg_cl, i) = st
                 active = active_i != 0
                 cand = cand_i != 0
                 stepping = active & ~cand
@@ -253,7 +324,7 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 py = oy + dy * se
                 pz = oz + dz * se
 
-                # --- L1 test (16-voxel cells) -------------------------
+                # --- L1 skip-field test (16-voxel cells) ---------------
                 c1x = jnp.clip(jnp.floor(px * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
                 c1y = jnp.clip(jnp.floor(py * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
                 c1z = jnp.clip(jnp.floor(pz * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
@@ -262,42 +333,46 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                     & (pz >= 0.0) & (pz < 256.0)
                 )
                 cl = (c1x * 16 + c1y) * 16 + c1z
-                w1 = _gather_l1(l1t, cl >> 5)
-                occ1 = (_bit_test_i32(w1, cl & 31) != 0) & inb & stepping
+                dist = _gather_l1_dist(l1t, cl)
+                occ1 = (dist == 0) & inb & stepping
 
-                # --- L2 test (4-voxel blocks), only meaningful if occ1 --
+                # --- refresh cell-word registers on cell entry. Ungated:
+                # the 2x4-chunk gather costs about what one scalar-sync
+                # cond would, with zero pipeline stalls.
+                need = occ1 & (cl != reg_cl)
+                clm = jnp.where(need, cl, 0)
+                w0 = jnp.where(need, _gather_chunked(l2w0_ref, clm, 4), w0)
+                w1 = jnp.where(need, _gather_chunked(l2w1_ref, clm, 4), w1)
+                reg_cl = jnp.where(need, cl, reg_cl)
+
+                # --- L2 test from registers ----------------------------
                 bx = jnp.clip(jnp.floor(px * 0.25).astype(jnp.int32), 0, 63)
                 by = jnp.clip(jnp.floor(py * 0.25).astype(jnp.int32), 0, 63)
                 bz = jnp.clip(jnp.floor(pz * 0.25).astype(jnp.int32), 0, 63)
-                lb = (bx * 64 + by) * 64 + bz
-                widx = lb >> 5
-                w2 = jax.lax.cond(
-                    jnp.any(occ1),
-                    lambda: _gather_chunked(l2w_ref, _masked_idx(occ1, widx), 8),
-                    lambda: jnp.zeros(shape, jnp.int32),
-                )
-                occ2 = (_bit_test_i32(w2, lb & 31) != 0) & occ1
+                local = ((bx & 3) << 4) | ((by & 3) << 2) | (bz & 3)
+                word = jnp.where(local < 32, w0, w1)
+                occ2 = (_bit_test_i32(word, local & 31) != 0) & occ1
 
                 # Freeze candidates.
                 newly = occ2 & ~cand
                 cand = cand | newly
-                cword = jnp.where(newly, w2, cword)
-                cwidx = jnp.where(newly, widx, cwidx)
-                cbit = jnp.where(newly, lb & 31, cbit)
+                cword = jnp.where(newly, word, cword)
+                cwidx = jnp.where(newly, cl * 2 + (local >> 5), cwidx)  # (cl, half)
+                cbit = jnp.where(newly, local & 31, cbit)
                 cbx = jnp.where(newly, bx, cbx)
                 cby = jnp.where(newly, by, cby)
                 cbz = jnp.where(newly, bz, cbz)
 
-                # Advance: occupied L1 -> step one block (L2 stride);
-                # empty L1 -> step one cell (L1 stride). Exit t of the
-                # current cell at the chosen stride:
+                # Advance: occupied cell -> one block; empty cell with
+                # chebyshev distance d -> exit the whole (2d-1)³ empty box.
+                df = jnp.maximum(dist, 1).astype(jnp.float32)
                 fx = jnp.where(occ1, bx.astype(jnp.float32) * 4.0,
-                               c1x.astype(jnp.float32) * 16.0)
+                               (c1x.astype(jnp.float32) - (df - 1.0)) * 16.0)
                 fy = jnp.where(occ1, by.astype(jnp.float32) * 4.0,
-                               c1y.astype(jnp.float32) * 16.0)
+                               (c1y.astype(jnp.float32) - (df - 1.0)) * 16.0)
                 fz = jnp.where(occ1, bz.astype(jnp.float32) * 4.0,
-                               c1z.astype(jnp.float32) * 16.0)
-                wsize = jnp.where(occ1, 4.0, 16.0)
+                               (c1z.astype(jnp.float32) - (df - 1.0)) * 16.0)
+                wsize = jnp.where(occ1, 4.0, (2.0 * df - 1.0) * 16.0)
                 _, s_exit = _slab3(ox, oy, oz, rx, ry, rz,
                                    fx, fy, fz, fx + wsize, fy + wsize, fz + wsize)
                 s_next = jnp.maximum(s_exit, s + _STEP_EPS)
@@ -305,10 +380,12 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 s = jnp.where(advance, s_next, s)
                 active = active & ~(stepping & (~inb | (s >= s_end)) & ~newly)
                 return (active.astype(jnp.int32), s, cand.astype(jnp.int32),
-                        cword, cwidx, cbit, cbx, cby, cbz, i + jnp.int32(1))
+                        cword, cwidx, cbit, cbx, cby, cbz,
+                        w0, w1, reg_cl, i + jnp.int32(1))
 
             st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
-                  cword, cwidx, cbit, cbx, cby, cbz, jnp.int32(0))
+                  cword, cwidx, cbit, cbx, cby, cbz, w0, w1, reg_cl,
+                  jnp.int32(0))
             st = jax.lax.while_loop(cond, body, st)
             return (st[0] != 0, st[1], st[2] != 0) + st[3:9]
 
@@ -318,8 +395,12 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             (active, s, cand, cword, cwidx, cbit,
              cbx, cby, cbz) = march(active, s)
 
-            # Leaf row from the rank table + in-word popcount.
-            rank = _gather_chunked(l2r_ref, _masked_idx(cand, cwidx), 8)
+            # Leaf row from the rank tables + in-word popcount.
+            ccl = jnp.where(cand, cwidx >> 1, 0)
+            half = cwidx & 1
+            r0 = _gather_chunked(l2r0_ref, ccl, 4)
+            r1 = _gather_chunked(l2r1_ref, ccl, 4)
+            rank = jnp.where(half == 0, r0, r1)
             row = rank + _popcount_below(cword, cbit)
 
             # Block entry/exit.
@@ -352,7 +433,7 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
 
             # ---- micro DDA (hit.rint:43-137) -------------------------
             in_micro = cand & active
-            mrow = _masked_idx(in_micro, row)
+            mrow = jnp.where(in_micro, row, 0)
             mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks)
             mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks)
 
@@ -442,7 +523,8 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
 
 
 @partial(jax.jit, static_argnames=("mask_chunks", "mode", "rounds", "interpret"))
-def _trace_pallas(l1, l2w, l2r, mlo, mhi, ox, oy, oz, dx, dy, dz,
+def _trace_pallas(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
+                  ox, oy, oz, dx, dy, dz,
                   smin, smax, mask_chunks, mode, rounds, interpret=False):
     n_rows = ox.shape[0]
     grid = n_rows // ROWS
@@ -455,7 +537,7 @@ def _trace_pallas(l1, l2w, l2r, mlo, mhi, ox, oy, oz, dx, dy, dz,
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[tab_spec] * 5 + [ray_spec] * 8,
+        in_specs=[tab_spec] * 7 + [ray_spec] * 8,
         out_specs=[ray_spec] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
@@ -463,7 +545,7 @@ def _trace_pallas(l1, l2w, l2r, mlo, mhi, ox, oy, oz, dx, dy, dz,
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(l1, l2w, l2r, mlo, mhi, ox, oy, oz, dx, dy, dz, smin, smax)
+    )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, ox, oy, oz, dx, dy, dz, smin, smax)
     return out
 
 
@@ -493,7 +575,7 @@ def trace_instance_pallas(tables, origin, direction, t_min, t_max,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     hit_s, row, bit = _trace_pallas(
-        tables.l1, tables.l2_word, tables.l2_rank,
+        tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0, tables.l2_r1,
         tables.mask_lo, tables.mask_hi,
         prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
         prep(dn[:, 0], 1.0), prep(dn[:, 1], 1.0), prep(dn[:, 2], 1.0),
@@ -511,14 +593,16 @@ def stack_tables(tables: list[PallasTables]):
     m = len(tables)
     cl = max(t.mask_chunks for t in tables) if tables else 1
     l1 = np.stack([t.l1 for t in tables]) if m else np.zeros((0, 8, 128), np.int32)
-    l2w = np.stack([t.l2_word for t in tables]) if m else np.zeros((0, 8, 8, 128), np.int32)
-    l2r = np.stack([t.l2_rank for t in tables]) if m else np.zeros((0, 8, 8, 128), np.int32)
+    l2w0 = np.stack([t.l2_w0 for t in tables]) if m else np.zeros((0, 4, 8, 128), np.int32)
+    l2w1 = np.stack([t.l2_w1 for t in tables]) if m else np.zeros((0, 4, 8, 128), np.int32)
+    l2r0 = np.stack([t.l2_r0 for t in tables]) if m else np.zeros((0, 4, 8, 128), np.int32)
+    l2r1 = np.stack([t.l2_r1 for t in tables]) if m else np.zeros((0, 4, 8, 128), np.int32)
     mlo = np.zeros((m, cl, 8, 128), np.int32)
     mhi = np.zeros((m, cl, 8, 128), np.int32)
     for i, t in enumerate(tables):
         mlo[i, : t.mask_chunks] = t.mask_lo
         mhi[i, : t.mask_chunks] = t.mask_hi
-    return l1, l2w, l2r, mlo, mhi
+    return l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi
 
 
 def _xform_point(a34, p):
@@ -547,7 +631,9 @@ def trace_scene_pallas(scene, origin, direction, t_min, t_max,
 
     for i, m in enumerate(scene.inst_model):
         tables = PallasTables(
-            l1=scene.pl_l1[m], l2_word=scene.pl_l2w[m], l2_rank=scene.pl_l2r[m],
+            l1=scene.pl_l1[m],
+            l2_w0=scene.pl_l2w0[m], l2_w1=scene.pl_l2w1[m],
+            l2_r0=scene.pl_l2r0[m], l2_r1=scene.pl_l2r1[m],
             mask_lo=scene.pl_mlo[m], mask_hi=scene.pl_mhi[m],
         )
         w2o = scene.world_to_obj[i]

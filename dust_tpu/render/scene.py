@@ -85,9 +85,11 @@ class DeviceScene(NamedTuple):
     materials: jnp.ndarray      # (Mtot,) int32 palette indices
     palette: jnp.ndarray        # (256, 4) float32, 0..1 sRGB-encoded RGBA
     # Pallas traversal tables (stacked over models; see ops/pallas_trace).
-    pl_l1: jnp.ndarray          # (M, 8, 128) int32
-    pl_l2w: jnp.ndarray         # (M, 8, 8, 128) int32
-    pl_l2r: jnp.ndarray         # (M, 8, 8, 128) int32
+    pl_l1: jnp.ndarray          # (M, 8, 128) int32 packed L1 skip nibbles
+    pl_l2w0: jnp.ndarray        # (M, 4, 8, 128) int32
+    pl_l2w1: jnp.ndarray        # (M, 4, 8, 128) int32
+    pl_l2r0: jnp.ndarray        # (M, 4, 8, 128) int32
+    pl_l2r1: jnp.ndarray        # (M, 4, 8, 128) int32
     pl_mlo: jnp.ndarray         # (M, CL, 8, 128) int32
     pl_mhi: jnp.ndarray         # (M, CL, 8, 128) int32
     # Instances.
@@ -174,10 +176,12 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         materials=jnp.asarray(materials),
         palette=jnp.asarray(scene.palette.astype(np.float32) / 255.0),
         pl_l1=jnp.asarray(tables[0]),
-        pl_l2w=jnp.asarray(tables[1]),
-        pl_l2r=jnp.asarray(tables[2]),
-        pl_mlo=jnp.asarray(tables[3]),
-        pl_mhi=jnp.asarray(tables[4]),
+        pl_l2w0=jnp.asarray(tables[1]),
+        pl_l2w1=jnp.asarray(tables[2]),
+        pl_l2r0=jnp.asarray(tables[3]),
+        pl_l2r1=jnp.asarray(tables[4]),
+        pl_mlo=jnp.asarray(tables[5]),
+        pl_mhi=jnp.asarray(tables[6]),
         inst_model=inst_model,
         obj_to_world=o2w_j,
         world_to_obj=_invert_affines(o2w_j) if len(inst_model) else jnp.zeros((0, 3, 4)),

@@ -50,6 +50,17 @@ LEAF_DTYPE = np.dtype(
 INTERNAL_DTYPE = np.dtype([("child_mask", np.uint64), ("child_ptrs", np.uint32, (64,))])
 
 
+def hierarchy_key(b: np.ndarray) -> np.ndarray:
+    """Canonical flat-row sort key for block coords ``b`` (N,3): L1 cell
+    index (x-major) * 64 + local block index within the cell — the
+    reference's tree iteration order and the order the Pallas rank table
+    assumes."""
+    cell = b >> 2
+    local = ((b[:, 0] & 3) << 4) | ((b[:, 1] & 3) << 2) | (b[:, 2] & 3)
+    cl = (cell[:, 0].astype(np.int64) * 16 + cell[:, 1]) * 16 + cell[:, 2]
+    return (cl << 6) | local
+
+
 def leaf_bit_index(x, y, z):
     """Bit position of voxel (x,y,z) within its 4³ leaf: (x<<4)|(y<<2)|z."""
     return ((x & 3) << 4) | ((y & 3) << 2) | (z & 3)
@@ -246,10 +257,12 @@ class VoxTree:
     def flatten(self) -> "FlatTree":
         """Flatten into device-ready arrays + dense 64³ block→row grid.
 
-        Row order is **block-linear** (``bx*64² + by*64 + bz``), not tree
-        iteration order: the Pallas traversal derives a leaf row from a
-        popcount prefix over the block bitmap, which requires exactly this
-        ordering, and any consistent order is equivalent for shading."""
+        Row order is the **hierarchy order** — 16³ L1 cell (x-major),
+        then 4³ block within the cell — i.e. exactly the reference's tree
+        iteration order (root index, then internal index). The Pallas
+        traversal derives a leaf row from a popcount prefix over a
+        cell-grouped block bitmap, which requires exactly this ordering;
+        any consistent order is equivalent for shading."""
         origins, occ, act, mat = [], [], [], []
         for origin, leaf in self.iter_leaf():
             o = int(leaf["occupancy"])
@@ -265,9 +278,7 @@ class VoxTree:
         act = np.asarray(act, dtype=np.uint64)
         mat = np.asarray(mat, dtype=np.uint32)
         if n:
-            b = origins >> LEAF_LOG2
-            lin = (b[:, 0].astype(np.int64) * BLOCKS_PER_AXIS + b[:, 1]) * BLOCKS_PER_AXIS + b[:, 2]
-            order = np.argsort(lin)
+            order = np.argsort(hierarchy_key(origins >> LEAF_LOG2))
             origins, occ, act, mat = origins[order], occ[order], act[order], mat[order]
 
         grid = np.full((BLOCKS_PER_AXIS,) * 3, -1, dtype=np.int32)
@@ -325,7 +336,7 @@ class FlatTree:
         bx = nz & 63
         by = (nz >> 6) & 63
         bz = nz >> 12
-        order = np.argsort((bx * 64 + by) * 64 + bz)
+        order = np.argsort(hierarchy_key(np.stack([bx, by, bz], axis=1)))
         nz = nz[order]
         bx, by, bz = bx[order], by[order], bz[order]
         occ = occupancy[nz]

@@ -99,12 +99,20 @@ def test_rank_table_row_identity(setup):
     scene = load_vox_scene(procgen.teapot_scene_bytes())
     flat = scene.geometries[0].flat
     tables = build_pallas_tables(flat)
-    l2 = np.array(tables.l2_word).reshape(-1).view(np.uint32)
-    rank = np.array(tables.l2_rank).reshape(-1)
+    from dust_tpu.voxtree.tree import hierarchy_key
+
+    w0 = np.array(tables.l2_w0).reshape(-1).view(np.uint32)
+    w1 = np.array(tables.l2_w1).reshape(-1).view(np.uint32)
+    r0 = np.array(tables.l2_r0).reshape(-1)
+    r1 = np.array(tables.l2_r1).reshape(-1)
     b = flat.leaf_origin >> 2
+    keys = hierarchy_key(b)
     for i in range(0, flat.num_leaves, max(flat.num_leaves // 50, 1)):
-        lin = int((b[i, 0] * 64 + b[i, 1]) * 64 + b[i, 2])
-        w, bit = lin >> 5, lin & 31
-        row = rank[w] + int(l2[w] & ((1 << bit) - 1)).bit_count()
+        key = int(keys[i])
+        cl, local = key >> 6, key & 63
+        word = w0[cl] if local < 32 else w1[cl]
+        rank = r0[cl] if local < 32 else r1[cl]
+        bit = local & 31
+        row = rank + int(word & ((1 << bit) - 1)).bit_count()
         assert row == i
         assert flat.leaf_grid[b[i, 0], b[i, 1], b[i, 2]] == i
