@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dust_tpu.config import DenoiserSettings
@@ -56,24 +57,33 @@ def make_denoiser_state(height: int, width: int) -> DenoiserState:
 
 
 def _bilinear(img: jnp.ndarray, xy: jnp.ndarray):
-    """Bilinear fetch of (H,W,C) at float pixel coords (...,2) = (x,y)."""
+    """Bilinear fetch of (H,W,C) at float pixel coords (...,2) = (x,y).
+
+    Random row gathers from image-sized tables run at ~45M rows/s on TPU
+    (HBM-latency bound) regardless of row width, so the four taps are
+    packed into ONE 4C-wide gather: the source image is pre-shifted into
+    a (H,W,4C) quad where each row already holds its 2×2 neighbourhood.
+    """
     h, w = img.shape[:2]
-    x = xy[..., 0] - 0.5
-    y = xy[..., 1] - 0.5
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
+    c = img.shape[2]
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    quad = jnp.concatenate([img, right, down, down_right], axis=-1)
+    flat = quad.reshape(h * w, 4 * c)
+
+    x = jnp.clip(xy[..., 0] - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(xy[..., 1] - 0.5, 0.0, h - 1.0)
+    x0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), w - 1)
+    y0 = jnp.minimum(jnp.floor(y).astype(jnp.int32), h - 1)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    def tap(yy, xx):
-        yy = jnp.clip(yy, 0, h - 1)
-        xx = jnp.clip(xx, 0, w - 1)
-        return img[yy, xx]
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
+    rows = jnp.take(flat, y0 * w + x0, axis=0)
+    v00 = rows[..., 0 * c : 1 * c]
+    v01 = rows[..., 1 * c : 2 * c]
+    v10 = rows[..., 2 * c : 3 * c]
+    v11 = rows[..., 3 * c : 4 * c]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -116,11 +126,18 @@ def denoise(
         & (prev_xy[..., 1] >= 0.5) & (prev_xy[..., 1] <= height - 0.5)
         & (prev_w > 0)
     )
-    hist_color = _bilinear(state.color, prev_xy)
-    hist_hd = _bilinear(state.hitdist[..., None], prev_xy)[..., 0]
-    hist_len = _bilinear(state.history_len[..., None], prev_xy)[..., 0]
-    hist_pos = _bilinear(state.prev_pos, prev_xy)
-    hist_nrm = _bilinear(state.prev_normal, prev_xy)
+    # One 11-channel bilinear fetch instead of five: TPU gathers are
+    # per-row, so fetching wide rows costs the same as narrow ones
+    # (measured ~15x cheaper than five separate gathers).
+    packed = jnp.concatenate(
+        [state.color, state.hitdist[..., None], state.history_len[..., None],
+         state.prev_pos, state.prev_normal], axis=-1)
+    hist = _bilinear(packed, prev_xy)
+    hist_color = hist[..., 0:3]
+    hist_hd = hist[..., 3]
+    hist_len = hist[..., 4]
+    hist_pos = hist[..., 5:8]
+    hist_nrm = hist[..., 8:11]
 
     # Geometric validation: the reprojected history must describe (nearly)
     # the same surface point with a compatible orientation.
@@ -147,35 +164,64 @@ def denoise(
     filtered = acc_color
     inv_d2 = 1.0 / (settings.depth_sigma * settings.depth_sigma)
 
-    kernel = [(0, 0, 0.25)] + [
+    kernel = [
         (dy, dx, 0.125 if (dx == 0 or dy == 0) else 0.0625)
         for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dx, dy) != (0, 0)
     ]
+
+    def shift(a, sy, sx):
+        """Edge-clamped 2D shift via pad+slice (jnp.roll lowers poorly)."""
+        pads = [(max(sy, 0), max(-sy, 0)), (max(sx, 0), max(-sx, 0))]
+        pads += [(0, 0)] * (a.ndim - 2)
+        p = jnp.pad(a, pads, mode="edge")
+        h, w = a.shape[:2]
+        return jax.lax.slice(
+            p, (max(-sy, 0), max(-sx, 0)) + (0,) * (a.ndim - 2),
+            (max(-sy, 0) + h, max(-sx, 0) + w) + a.shape[2:],
+        )
+
+    def powi(x, n):
+        """x**n for static integer n via repeated squaring (no pow op)."""
+        result = None
+        bit = x
+        n = int(n)
+        while n:
+            if n & 1:
+                result = bit if result is None else result * bit
+            n >>= 1
+            if n:
+                bit = bit * bit
+        return result
+
+    n_sigma = settings.normal_sigma
+    int_sigma = float(n_sigma).is_integer()
+    depth_s = jnp.where(valid_px, depth, 1e10)
+    inv_hd = 1.0 / (hd_norm + 1e-3)
 
     for it in range(settings.atrous_iterations):
         step = 1 << it
         wsum = jnp.full_like(lum, 0.25)
         csum = filtered * 0.25
         lum_f = jnp.sum(filtered * jnp.asarray([0.25, 0.5, 0.25]), axis=-1)
+        inv_lum_sig = 1.0 / (settings.luminance_sigma * conv * hd_norm + 1e-3)
         for dy, dx, kw in kernel:
-            if dx == 0 and dy == 0:
-                continue
             sy, sx = dy * step, dx * step
-            d_q = jnp.roll(depth, (-sy, -sx), axis=(0, 1))
-            n_q = jnp.roll(normal, (-sy, -sx), axis=(0, 1))
-            l_q = jnp.roll(lum_f, (-sy, -sx), axis=(0, 1))
-            c_q = jnp.roll(filtered, (-sy, -sx), axis=(0, 1))
-            v_q = jnp.roll(valid_px, (-sy, -sx), axis=(0, 1))
+            d_q = shift(depth_s, -sy, -sx)
+            n_q = shift(normal, -sy, -sx)
+            l_q = shift(lum_f, -sy, -sx)
+            c_q = shift(filtered, -sy, -sx)
+            v_q = shift(valid_px, -sy, -sx)
 
-            w_z = jnp.exp(-jnp.abs(depth - d_q) / jnp.maximum(depth, 1.0)
-                          * inv_d2 * 8.0 / (hd_norm + 1e-3))
-            w_n = jnp.maximum(jnp.sum(normal * n_q, axis=-1), 0.0) ** settings.normal_sigma
-            w_l = jnp.exp(
-                -jnp.abs(lum_f - l_q)
-                / (settings.luminance_sigma * conv * hd_norm + 1e-3)
+            # One exp for both depth and luminance stops.
+            log_w = (
+                -jnp.abs(depth_s - d_q) / jnp.maximum(depth_s, 1.0)
+                * (inv_d2 * 8.0) * inv_hd
+                - jnp.abs(lum_f - l_q) * inv_lum_sig
             )
-            wgt = kw * w_z * w_n * w_l * v_q.astype(jnp.float32)
-            wgt = jnp.where(jnp.isfinite(wgt), wgt, 0.0)
+            ndot = jnp.maximum(jnp.sum(normal * n_q, axis=-1), 0.0)
+            w_n = powi(ndot, n_sigma) if int_sigma else ndot ** n_sigma
+            wgt = kw * jnp.exp(jnp.maximum(log_w, -40.0)) * w_n \
+                * v_q.astype(jnp.float32)
             csum = csum + c_q * wgt[..., None]
             wsum = wsum + wgt
         filtered = csum / wsum[..., None]

@@ -33,7 +33,13 @@ def luminance_histogram(radiance: jnp.ndarray, settings: ExposureSettings) -> jn
     bins = jnp.where(
         lum < 0.005, 0, (log_lum * 254.0 + 1.0).astype(jnp.int32)
     )
-    return jnp.zeros(settings.num_bins, jnp.int32).at[bins].add(1)
+    # Histogram via sort + boundary search: TPU scatter-add into 256 bins
+    # serialises; a 2M-element sort is ~3 ms and searchsorted is tiny.
+    sorted_bins = jnp.sort(bins)
+    edges = jnp.searchsorted(
+        sorted_bins, jnp.arange(settings.num_bins + 1, dtype=jnp.int32)
+    )
+    return jnp.diff(edges).astype(jnp.int32)
 
 
 def adapt_average_luminance(

@@ -25,10 +25,21 @@ def _popcount32(x):
     return jax.lax.population_count(x.astype(jnp.uint32)).astype(jnp.int32)
 
 
-def _gather_inst(arrs, inst):
-    """Gather per-instance rows (I is tiny, XLA handles this as a gather)."""
-    safe = jnp.maximum(inst, 0)
-    return arrs[safe]
+def _inst_xform(arrs, inst, p, with_translation):
+    """Apply per-ray instance affines by static select over the (tiny)
+    instance list — elementwise selects beat a (N,3,4) gather + batched
+    einsum by an order of magnitude on TPU."""
+    num = arrs.shape[0]
+    lin0 = arrs[0, :, :3]
+    out = jnp.einsum("ij,nj->ni", lin0, p, precision="highest")
+    if with_translation:
+        out = out + arrs[0, :, 3]
+    for i in range(1, num):
+        cand = jnp.einsum("ij,nj->ni", arrs[i, :, :3], p, precision="highest")
+        if with_translation:
+            cand = cand + arrs[i, :, 3]
+        out = jnp.where((inst == i)[:, None], cand, out)
+    return out
 
 
 def resolve_hits(scene, res, origin_w, dir_w):
@@ -48,15 +59,17 @@ def resolve_hits(scene, res, origin_w, dir_w):
     lmax = scene.mask_lo.shape[1]
     flat_row = model * lmax + jnp.maximum(res.row, 0)
 
-    leaf_origin = scene.leaf_origin.reshape(-1, 3)[flat_row]
-    mask_lo = scene.mask_lo.reshape(-1)[flat_row]
-    mask_hi = scene.mask_hi.reshape(-1)[flat_row]
-    mat_ptr = scene.material_ptr.reshape(-1)[flat_row]
+    # One 8-wide row gather for all per-leaf attributes (TPU gathers are
+    # row-granular; five scalar gathers cost 5x one wide one).
+    attr = jnp.take(scene.leaf_attr, flat_row, axis=0)
+    leaf_origin = attr[:, 0:3]
+    mask_lo = attr[:, 3].astype(jnp.uint32)
+    mask_hi = attr[:, 4].astype(jnp.uint32)
+    mat_ptr = attr[:, 5]
 
     # Object-space hit point: transform the world ray per instance.
-    w2o = _gather_inst(scene.world_to_obj, res.inst)
-    o_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], origin_w, precision="highest") + w2o[:, :, 3]
-    d_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], dir_w, precision="highest")
+    o_obj = _inst_xform(scene.world_to_obj, inst, origin_w, True)
+    d_obj = _inst_xform(scene.world_to_obj, inst, dir_w, False)
     t = jnp.where(hit, res.t, 0.0)
     hit_obj = o_obj + d_obj * t[:, None]
 
@@ -66,8 +79,7 @@ def resolve_hits(scene, res, origin_w, dir_w):
     box_center = leaf_origin.astype(jnp.float32) + off.astype(jnp.float32) + 0.5
 
     normal_obj = pk.cubed_normalize(hit_obj - box_center)
-    o2w = _gather_inst(scene.obj_to_world, res.inst)
-    normal_w = jnp.einsum("nij,nj->ni", o2w[:, :, :3], normal_obj, precision="highest")
+    normal_w = _inst_xform(scene.obj_to_world, inst, normal_obj, False)
     nlen = jnp.linalg.norm(normal_w, axis=-1, keepdims=True)
     normal_w = normal_w / jnp.maximum(nlen, 1e-8)
 
@@ -83,15 +95,17 @@ def resolve_hits(scene, res, origin_w, dir_w):
         jnp.uint32(0),
     )
     offset = _popcount32(below_lo) + _popcount32(below_hi)
-    palette_idx = jnp.take(scene.materials, mat_ptr + offset, mode="clip")
-    albedo = jnp.take(scene.palette, palette_idx, axis=0)  # sRGB-encoded RGBA
+    # material_rgba = palette[materials] precomputed host-side: one row
+    # gather yields index + color together.
+    mrow = jnp.take(scene.material_rgba, mat_ptr + offset, axis=0, mode="clip")
+    palette_idx = mrow[:, 0].astype(jnp.int32)
+    albedo = mrow[:, 1:5].astype(jnp.float32) / 255.0
     albedo = jnp.where(hit[:, None], albedo.at[:, 3].set(1.0), 1.0)
 
     # World hit point + previous-frame reprojection (hit.rchit:90-94).
     hit_w = origin_w + dir_w * t[:, None]
     hit_model = o_obj + d_obj * t[:, None]  # object == model space here
-    prev = _gather_inst(scene.prev_obj_to_world, res.inst)
-    prev_w = jnp.einsum("nij,nj->ni", prev[:, :, :3], hit_model, precision="highest") + prev[:, :, 3]
+    prev_w = _inst_xform(scene.prev_obj_to_world, inst, hit_model, True)
     motion = jnp.where(hit[:, None], prev_w - hit_w, 0.0)
 
     # | 8 bit voxel id | 8 bit palette | 16 bit instance | (hit.rchit:87)
@@ -126,21 +140,20 @@ def leaf_attributes(scene, res, origin_w, dir_w, cell_size: float = 4.0):
     lmax = scene.mask_lo.shape[1]
     flat_row = model * lmax + jnp.maximum(res.row, 0)
 
-    leaf_origin = scene.leaf_origin.reshape(-1, 3)[flat_row].astype(jnp.float32)
-    avg_albedo = scene.avg_albedo.reshape(-1)[flat_row]
+    attr = jnp.take(scene.leaf_attr, flat_row, axis=0)
+    leaf_origin = attr[:, 0:3].astype(jnp.float32)
+    avg_albedo = attr[:, 6].astype(jnp.uint32)
 
-    w2o = _gather_inst(scene.world_to_obj, res.inst)
-    o_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], origin_w, precision="highest") + w2o[:, :, 3]
-    d_obj = jnp.einsum("nij,nj->ni", w2o[:, :, :3], dir_w, precision="highest")
+    o_obj = _inst_xform(scene.world_to_obj, inst, origin_w, True)
+    d_obj = _inst_xform(scene.world_to_obj, inst, dir_w, False)
     t = jnp.where(hit, res.t, 0.0)
     hit_obj = o_obj + d_obj * t[:, None]
 
     center_obj = leaf_origin + 2.0
-    o2w = _gather_inst(scene.obj_to_world, res.inst)
     n_obj = hit_obj - center_obj
-    n_world_raw = jnp.einsum("nij,nj->ni", o2w[:, :, :3], n_obj, precision="highest")
+    n_world_raw = _inst_xform(scene.obj_to_world, inst, n_obj, False)
     aabb_normal_w = pk.cubed_normalize(n_world_raw)
-    center_w = jnp.einsum("nij,nj->ni", o2w[:, :, :3], center_obj, precision="highest") + o2w[:, :, 3]
+    center_w = _inst_xform(scene.obj_to_world, inst, center_obj, True)
 
     qpos = jnp.trunc(center_w / cell_size).astype(jnp.int32)
     face = pk.normal_to_face_id(aabb_normal_w)

@@ -84,6 +84,10 @@ class DeviceScene(NamedTuple):
     # Shared material/palette pools.
     materials: jnp.ndarray      # (Mtot,) int32 palette indices
     palette: jnp.ndarray        # (256, 4) float32, 0..1 sRGB-encoded RGBA
+    material_rgba: jnp.ndarray  # (Mtot, 5) int32 [palette_idx, R,G,B,A u8]
+    # Packed per-leaf attribute rows for one-gather shading:
+    # [ox, oy, oz, mask_lo, mask_hi, material_ptr, avg_albedo, 0] int32.
+    leaf_attr: jnp.ndarray      # (M*Lmax, 8) int32
     # Pallas traversal tables (stacked over models; see ops/pallas_trace).
     pl_l1: jnp.ndarray          # (M, 8, 128) int32 packed L1 skip nibbles
     pl_l2w0: jnp.ndarray        # (M, 4, 8, 128) int32
@@ -160,6 +164,17 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
 
     tables = stack_tables([build_pallas_tables(g.flat) for g in geos])
 
+    mat_rgba = np.zeros((max(len(materials), 1), 5), dtype=np.int32)
+    mat_rgba[: len(materials), 0] = materials
+    mat_rgba[: len(materials), 1:5] = scene.palette[materials]
+
+    leaf_attr = np.zeros((M * lmax, 8), dtype=np.int32)
+    leaf_attr[:, 0:3] = origin.reshape(-1, 3)
+    leaf_attr[:, 3] = mask_lo.reshape(-1).view(np.int32)
+    leaf_attr[:, 4] = mask_hi.reshape(-1).view(np.int32)
+    leaf_attr[:, 5] = matptr.reshape(-1)
+    leaf_attr[:, 6] = albedo.reshape(-1).view(np.int32)
+
     inst_model = tuple(id_to_slot[inst.model_id] for inst in scene.instances)
     o2w = np.stack([inst.transform[:3, :4] for inst in scene.instances]).astype(
         np.float32
@@ -175,6 +190,8 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         avg_albedo=jnp.asarray(albedo),
         materials=jnp.asarray(materials),
         palette=jnp.asarray(scene.palette.astype(np.float32) / 255.0),
+        material_rgba=jnp.asarray(mat_rgba),
+        leaf_attr=jnp.asarray(leaf_attr),
         pl_l1=jnp.asarray(tables[0]),
         pl_l2w0=jnp.asarray(tables[1]),
         pl_l2w1=jnp.asarray(tables[2]),
