@@ -18,6 +18,9 @@ import json
 import sys
 import time
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -27,12 +30,15 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--tile", type=int, default=65536)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--backend", choices=["pallas", "jnp"], default=None)
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import numpy as np
 
     from dust_tpu.config import (
@@ -57,6 +63,7 @@ def main():
         width=width, height=height,
         spatial_hash=SpatialHashSettings(capacity=cap),
         surfels=SurfelSettings(pool_size=pool),
+        traversal_backend=args.backend or ("pallas" if not args.cpu else "jnp"),
     )
     scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
     state = make_frame_state(settings)

@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--tile", type=int, default=65536)
     ap.add_argument("--hash-capacity", type=int, default=1 << 20)
     ap.add_argument("--surfels", type=int, default=65536)
+    ap.add_argument("--backend", choices=["jnp", "pallas"], default="jnp",
+                    help="traversal kernel (pallas = the Mosaic fast path)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -59,6 +61,7 @@ def main(argv=None):
         width=args.width, height=args.height,
         spatial_hash=SpatialHashSettings(capacity=args.hash_capacity),
         surfels=SurfelSettings(pool_size=args.surfels),
+        traversal_backend=args.backend,
     )
 
     if args.scene:
