@@ -134,6 +134,11 @@ class RenderSettings:
     # (standard.glsl:28 AMBIENT_OCCLUSION_THRESHOLD).
     ambient_occlusion_threshold: float = 8.0
 
+    # DEBUG_VISUALIZE_SPATIAL_HASH (standard.glsl:26, hit.rchit:34-55):
+    # render the GI cache contents directly — illuminance = cached cell
+    # radiance, albedo = the leaf's average albedo.
+    debug_visualize_spatial_hash: bool = False
+
     camera: CameraConfig = CameraConfig()
     sunlight: SunlightSettings = SunlightSettings()
     exposure: ExposureSettings = ExposureSettings()

@@ -615,10 +615,14 @@ def _xform_dir(a34, d):
 
 def trace_scene_pallas(scene, origin, direction, t_min, t_max,
                        mode: str = "precise", rounds: int = 16,
-                       interpret: bool = False):
+                       interpret: bool | None = None):
     """Closest-hit trace against every instance with the Pallas kernel —
     same contract as :func:`dust_tpu.ops.traverse.trace_scene`."""
     from dust_tpu.ops.traverse import TraceResult
+
+    if interpret is None:
+        # CPU backend (tests, virtual meshes) only supports interpret mode.
+        interpret = jax.default_backend() == "cpu"
 
     n = origin.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))

@@ -259,6 +259,15 @@ def render_frame(
         (state.surfel_pos, state.surfel_dir), pool_idx, enqueue,
         (leaf["center_world"], leaf["face"]), pool_size,
     )
+    if settings.debug_visualize_spatial_hash:
+        # hit.rchit DEBUG path: look the primary hit's cell up in the hash
+        # and display the cached radiance with the leaf average albedo.
+        dbg_leaf = shade.leaf_attributes(scene, primary, origins, dirs,
+                                         settings.spatial_hash.cell_size)
+        _, dbg_rad, _ = sh.hash_get(state.spatial_hash, dbg_leaf["qpos"],
+                                    dbg_leaf["face"])
+        illum = jnp.where(hit[:, None], dbg_rad, illum)
+
     # Radiance + hit distance image (REBLUR packing semantics).
     hitdist = jnp.where(ao_hit, jnp.where(ao.bit == 255, ao.t, ao.t), 0.0)
     hitdist = jnp.where(fg_hit, fg.t, hitdist)
