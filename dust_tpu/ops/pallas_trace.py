@@ -386,7 +386,10 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
                   cword, cwidx, cbit, cbx, cby, cbz, w0, w1, reg_cl,
                   jnp.int32(0))
-            st = jax.lax.while_loop(cond, body, st)
+            # 2x unroll: the while cond is a vector->scalar sync (~120
+            # cycles); frozen/dead rays are masked no-ops so running one
+            # extra step is harmless.
+            st = jax.lax.while_loop(cond, lambda st: body(body(st)), st)
             return (st[0] != 0, st[1], st[2] != 0) + st[3:9]
 
         def round_body(rstate):
