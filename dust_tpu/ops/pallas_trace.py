@@ -203,13 +203,6 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=False):
     return jax.lax.cond(jnp.max(chunk) == cmin, lambda: one_chunk(cmin), general)
 
 
-def _masked_idx(mask, idx):
-    """Replace inactive lanes' indices with an active lane's index so the
-    uniform-chunk fast path stays uniform."""
-    fill = jnp.max(jnp.where(mask, idx, 0))
-    return jnp.where(mask, idx, fill)
-
-
 def _gather_l1_dist(l1, cl):
     """L1 chebyshev distance for cell index ``cl`` in [0,4096): one
     sublane-select gather over 512 packed words + nibble extract."""
