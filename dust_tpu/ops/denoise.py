@@ -37,23 +37,31 @@ __all__ = ["DenoiserState", "make_denoiser_state", "denoise"]
 
 
 class DenoiserState(NamedTuple):
-    color: jnp.ndarray        # (H,W,3) accumulated linear radiance
-    hitdist: jnp.ndarray      # (H,W) accumulated hit distance
-    history_len: jnp.ndarray  # (H,W) float frames accumulated
-    prev_pos: jnp.ndarray     # (H,W,3) world position of last frame's hits
-    prev_normal: jnp.ndarray  # (H,W,3)
+    """History packed as one (H,W,8) image: [color rgb, hitdist, len,
+    view depth, oct-normal xy]. One image keeps the reprojection fetch a
+    single <=64-byte row gather — the width past which TPU gather cost
+    starts scaling (measured)."""
+
+    history: jnp.ndarray  # (H,W,8) float32
+
+    @property
+    def color(self) -> jnp.ndarray:
+        return self.history[..., 0:3]
+
+    @property
+    def hitdist(self) -> jnp.ndarray:
+        return self.history[..., 3]
+
+    @property
+    def history_len(self) -> jnp.ndarray:
+        return self.history[..., 4]
 
 
 def make_denoiser_state(height: int, width: int) -> DenoiserState:
     # Explicit non-weak dtypes: the state must round-trip through
     # render_frame without changing abstract values, or jit recompiles.
-    return DenoiserState(
-        color=jnp.zeros((height, width, 3), jnp.float32),
-        hitdist=jnp.zeros((height, width), jnp.float32),
-        history_len=jnp.zeros((height, width), jnp.float32),
-        prev_pos=jnp.full((height, width, 3), 1e30, jnp.float32),
-        prev_normal=jnp.zeros((height, width, 3), jnp.float32),
-    )
+    h = jnp.zeros((height, width, 8), jnp.float32)
+    return DenoiserState(history=h.at[..., 5].set(-1.0))  # depth -1 = none
 
 
 def _bilinear(img: jnp.ndarray, xy: jnp.ndarray):
@@ -126,25 +134,21 @@ def denoise(
         & (prev_xy[..., 1] >= 0.5) & (prev_xy[..., 1] <= height - 0.5)
         & (prev_w > 0)
     )
-    # One 11-channel bilinear fetch instead of five: TPU gathers are
-    # per-row, so fetching wide rows costs the same as narrow ones
-    # (measured ~15x cheaper than five separate gathers).
-    packed = jnp.concatenate(
-        [state.color, state.hitdist[..., None], state.history_len[..., None],
-         state.prev_pos, state.prev_normal], axis=-1)
-    hist = _bilinear(packed, prev_xy)
+    hist = _bilinear(state.history, prev_xy)
     hist_color = hist[..., 0:3]
     hist_hd = hist[..., 3]
     hist_len = hist[..., 4]
-    hist_pos = hist[..., 5:8]
-    hist_nrm = hist[..., 8:11]
+    hist_depth = hist[..., 5]
+    hist_nrm = pk.decode_oct_normal(hist[..., 6:8])
 
-    # Geometric validation: the reprojected history must describe (nearly)
-    # the same surface point with a compatible orientation.
-    scale = jnp.maximum(jnp.abs(depth), 1.0)
-    pos_ok = jnp.linalg.norm(hist_pos - prev_world, axis=-1) < 0.15 * scale
+    # Geometric validation: the history pixel must describe (nearly) the
+    # same surface — its stored view depth must match the depth of the
+    # reprojected point in the previous camera (the projection w is
+    # exactly that view depth), with a compatible orientation.
+    depth_ok = jnp.abs(hist_depth - prev_w) < 0.1 * jnp.maximum(prev_w, 1.0)
     nrm_ok = jnp.sum(hist_nrm * normal, axis=-1) > 0.8
-    valid_hist = in_bounds & pos_ok & nrm_ok & valid_px & jnp.isfinite(hist_len)
+    valid_hist = (in_bounds & depth_ok & nrm_ok & valid_px
+                  & (hist_depth > 0.0) & jnp.isfinite(hist_len))
 
     n = jnp.where(valid_hist, jnp.minimum(hist_len, settings.max_accumulated_frames - 1), 0.0)
     alpha = 1.0 / (n + 1.0)
@@ -228,11 +232,12 @@ def denoise(
 
     out = jnp.where(valid_px[..., None], filtered, radiance)
 
-    new_state = DenoiserState(
-        color=jnp.where(valid_px[..., None], acc_color, 0.0),
-        hitdist=acc_hd,
-        history_len=new_len,
-        prev_pos=jnp.where(valid_px[..., None], world_pos, 1e30),
-        prev_normal=normal,
-    )
-    return out, acc_hd, new_state
+    new_hist = jnp.concatenate(
+        [jnp.where(valid_px[..., None], acc_color, 0.0),
+         acc_hd[..., None],
+         new_len[..., None],
+         jnp.where(valid_px, depth, -1.0)[..., None],
+         pk.encode_oct_normal(jnp.where(valid_px[..., None], normal,
+                                        jnp.asarray([0.0, 0.0, 1.0])))],
+        axis=-1)
+    return out, acc_hd, DenoiserState(history=new_hist)

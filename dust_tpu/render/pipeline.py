@@ -109,7 +109,8 @@ def _pcg_scalar(v):
     return ((word >> 22) ^ word).astype(jnp.int32) & 0x7FFF
 
 
-@partial(jax.jit, static_argnames=("settings", "tile", "ray_sharding"))
+@partial(jax.jit, static_argnames=("settings", "tile", "ray_sharding"),
+         donate_argnames=("state",))
 def render_frame(
     scene,
     state: FrameState,
