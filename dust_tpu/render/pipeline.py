@@ -62,8 +62,9 @@ class FrameState(NamedTuple):
     history, auto-exposure average, frame counter, flip-flop camera)."""
 
     spatial_hash: sh.SpatialHash
-    surfel_pos: jnp.ndarray     # (P,3) float32 world positions
-    surfel_dir: jnp.ndarray     # (P,)  int32 face ids, >=6 invalid
+    # Surfel pool packed as (P,4) float32 rows [x, y, z, face_id] — one
+    # row scatter per enqueue pass (face ids 0-7 are exact in f32).
+    surfels: jnp.ndarray
     denoiser: denoiselib.DenoiserState
     exposure_avg: jnp.ndarray   # () float32
     frame_index: jnp.ndarray    # () int32
@@ -74,8 +75,8 @@ def make_frame_state(settings: RenderSettings) -> FrameState:
     p = settings.surfels.pool_size
     return FrameState(
         spatial_hash=sh.make_spatial_hash(settings.spatial_hash.capacity),
-        surfel_pos=jnp.zeros((p, 3), jnp.float32),
-        surfel_dir=jnp.full((p,), INVALID_SURFEL, jnp.int32),
+        surfels=jnp.zeros((p, 4), jnp.float32).at[:, 3].set(
+            float(INVALID_SURFEL)),
         denoiser=denoiselib.make_denoiser_state(settings.height, settings.width),
         exposure_avg=jnp.asarray(1.0, jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
@@ -83,8 +84,8 @@ def make_frame_state(settings: RenderSettings) -> FrameState:
     )
 
 
-def _scatter_keep_first(dest_tuple, idx, mask, values_tuple, size):
-    """Deterministic pool scatter: for duplicate indices keep the
+def _scatter_keep_first(dest, idx, mask, values, size):
+    """Deterministic pool row scatter: for duplicate indices keep the
     lowest-ranked candidate (the reference's racy last-writer is replaced
     by a defined order)."""
     sentinel = jnp.where(mask, idx, size)
@@ -93,13 +94,8 @@ def _scatter_keep_first(dest_tuple, idx, mask, values_tuple, size):
     first = jnp.concatenate([jnp.ones(1, bool), sidx[1:] != sidx[:-1]])
     sel = first & (sidx < size)
     tgt = jnp.where(sel, sidx, size)
-    out = []
-    for dest, val in zip(dest_tuple, values_tuple):
-        out.append(dest.at[tgt].set(
-            jnp.where(sel.reshape(sel.shape + (1,) * (val.ndim - 1)), val[order], 0),
-            mode="drop",
-        ))
-    return tuple(out)
+    return dest.at[tgt].set(jnp.where(sel[:, None], values[order], 0.0),
+                            mode="drop")
 
 
 def _pcg_scalar(v):
@@ -254,12 +250,13 @@ def render_frame(
     p_sched = 1.0 / (cnt.astype(jnp.float32) + 2.0)
     noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
     enqueue = fg_hit & (noise0 > p_sched)
-    pool_size = state.surfel_pos.shape[0]
+    pool_size = state.surfels.shape[0]
     pool_idx = jnp.arange(n, dtype=jnp.int32) % pool_size
-    surfel_pos, surfel_dir = _scatter_keep_first(
-        (state.surfel_pos, state.surfel_dir), pool_idx, enqueue,
-        (leaf["center_world"], leaf["face"]), pool_size,
-    )
+    enq_rows = jnp.concatenate(
+        [leaf["center_world"], leaf["face"].astype(jnp.float32)[:, None]],
+        axis=-1)
+    surfels = _scatter_keep_first(state.surfels, pool_idx, enqueue,
+                                  enq_rows, pool_size)
     if settings.debug_visualize_spatial_hash:
         # hit.rchit DEBUG path: look the primary hit's cell up in the hash
         # and display the cached radiance with the leaf average albedo.
@@ -277,6 +274,8 @@ def render_frame(
 
     # -------------------------------------------------- 4. surfel pass
     p = pool_size
+    surfel_pos = surfels[:, :3]
+    surfel_dir = surfels[:, 3].astype(jnp.int32)
     s_valid = surfel_dir < 6
     s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
     s_origin = surfel_pos + 2.01 * s_normal
@@ -340,10 +339,11 @@ def render_frame(
     s_noise = bn_fetch_pool(bn_scalar, (114, 40))[:, 0]
     s_p = 1.0 / (s_cnt.astype(jnp.float32) + 2.0)
     s_requeue = s_hit & ~s_found & (s_noise > s_p)
-    surfel_pos, surfel_dir = _scatter_keep_first(
-        (surfel_pos, surfel_dir), jnp.arange(p, dtype=jnp.int32) % p, s_requeue,
-        (s_leaf["center_world"], s_leaf["face"]), p,
-    )
+    rq_rows = jnp.concatenate(
+        [s_leaf["center_world"], s_leaf["face"].astype(jnp.float32)[:, None]],
+        axis=-1)
+    surfels = _scatter_keep_first(surfels, jnp.arange(p, dtype=jnp.int32),
+                                  s_requeue, rq_rows, p)
 
     # -------------------------------------------------- 5. post
     denoised, acc_hd, new_den = denoiselib.denoise(
@@ -381,8 +381,7 @@ def render_frame(
 
     new_state = FrameState(
         spatial_hash=new_hash,
-        surfel_pos=surfel_pos,
-        surfel_dir=surfel_dir,
+        surfels=surfels,
         denoiser=new_den,
         exposure_avg=new_avg,
         frame_index=frame_index + 1,

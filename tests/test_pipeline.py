@@ -60,7 +60,7 @@ class TestRenderFrame:
         assert int(state.frame_index) == 3
         assert occupancy[-1] >= occupancy[0] > 0
         # Surfels got scheduled.
-        assert int((np.array(state.surfel_dir) < 6).sum()) > 0
+        assert int((np.array(state.surfels[:, 3]) < 6).sum()) > 0
 
     def test_gbuffer_contents(self, setup):
         settings, scene, sky, bn, cs = setup
