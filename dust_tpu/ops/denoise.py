@@ -202,19 +202,26 @@ def denoise(
     depth_s = jnp.where(valid_px, depth, 1e10)
     inv_hd = 1.0 / (hd_norm + 1e-3)
 
+    valid_f = valid_px.astype(jnp.float32)
     for it in range(settings.atrous_iterations):
         step = 1 << it
         wsum = jnp.full_like(lum, 0.25)
         csum = filtered * 0.25
         lum_f = jnp.sum(filtered * jnp.asarray([0.25, 0.5, 0.25]), axis=-1)
         inv_lum_sig = 1.0 / (settings.luminance_sigma * conv * hd_norm + 1e-3)
+        # Pack everything a tap reads into two arrays so each of the 8
+        # taps shifts 2 buffers instead of 5.
+        guide = jnp.concatenate(
+            [filtered, lum_f[..., None], depth_s[..., None], normal,
+             valid_f[..., None]], axis=-1)  # (H,W,9)
         for dy, dx, kw in kernel:
             sy, sx = dy * step, dx * step
-            d_q = shift(depth_s, -sy, -sx)
-            n_q = shift(normal, -sy, -sx)
-            l_q = shift(lum_f, -sy, -sx)
-            c_q = shift(filtered, -sy, -sx)
-            v_q = shift(valid_px, -sy, -sx)
+            g_q = shift(guide, -sy, -sx)
+            c_q = g_q[..., 0:3]
+            l_q = g_q[..., 3]
+            d_q = g_q[..., 4]
+            n_q = g_q[..., 5:8]
+            v_q = g_q[..., 8]
 
             # One exp for both depth and luminance stops.
             log_w = (
@@ -224,8 +231,7 @@ def denoise(
             )
             ndot = jnp.maximum(jnp.sum(normal * n_q, axis=-1), 0.0)
             w_n = powi(ndot, n_sigma) if int_sigma else ndot ** n_sigma
-            wgt = kw * jnp.exp(jnp.maximum(log_w, -40.0)) * w_n \
-                * v_q.astype(jnp.float32)
+            wgt = kw * jnp.exp(jnp.maximum(log_w, -40.0)) * w_n * v_q
             csum = csum + c_q * wgt[..., None]
             wsum = wsum + wgt
         filtered = csum / wsum[..., None]

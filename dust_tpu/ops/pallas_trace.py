@@ -329,14 +329,21 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 dist = _gather_l1_dist(l1t, cl)
                 occ1 = (dist == 0) & inb & stepping
 
-                # --- refresh cell-word registers on cell entry. Ungated:
-                # the 2x4-chunk gather costs about what one scalar-sync
-                # cond would, with zero pipeline stalls.
+                # --- refresh cell-word registers on cell entry. Gated:
+                # the 2x4-chunk gather (~1300 cyc) fires on well under
+                # half the iterations for coherent tiles, beating the
+                # ~120-cycle scalar sync of the gate.
                 need = occ1 & (cl != reg_cl)
-                clm = jnp.where(need, cl, 0)
-                w0 = jnp.where(need, _gather_chunked(l2w0_ref, clm, 4), w0)
-                w1 = jnp.where(need, _gather_chunked(l2w1_ref, clm, 4), w1)
-                reg_cl = jnp.where(need, cl, reg_cl)
+
+                def refresh(args):
+                    w0, w1, reg_cl = args
+                    clm = jnp.where(need, cl, 0)
+                    return (jnp.where(need, _gather_chunked(l2w0_ref, clm, 4), w0),
+                            jnp.where(need, _gather_chunked(l2w1_ref, clm, 4), w1),
+                            jnp.where(need, cl, reg_cl))
+
+                w0, w1, reg_cl = jax.lax.cond(
+                    jnp.any(need), refresh, lambda a: a, (w0, w1, reg_cl))
 
                 # --- L2 test from registers ----------------------------
                 bx = jnp.clip(jnp.floor(px * 0.25).astype(jnp.int32), 0, 63)
