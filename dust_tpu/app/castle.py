@@ -53,7 +53,9 @@ def main(argv=None):
     from dust_tpu.ops.sky import bake_sky
     from dust_tpu.render.pipeline import make_frame_state, render_frame
     from dust_tpu.render.scene import build_device_scene
+    from dust_tpu.utils import crashlog
     from dust_tpu.utils.image import write_png
+    from dust_tpu.utils.profiling import FrameDiagnostics
     from dust_tpu.vox import procgen
     from dust_tpu.vox.loader import load_vox_scene, VoxInstance
 
@@ -89,6 +91,14 @@ def main(argv=None):
 
     base_o2w = np.array(scene.obj_to_world)
 
+    # Crash reports + frame-time diagnostics, like the reference's
+    # SentryPlugin + FrameTimeDiagnosticsPlugin (examples/castle.rs:67).
+    crashlog.install({"scene": args.scene or "procgen-castle",
+                      "resolution": f"{args.width}x{args.height}"})
+    import logging
+    logging.basicConfig(level=logging.INFO)
+    diag = FrameDiagnostics(report_every=max(args.frames // 2, 2))
+
     t_start = time.time()
     for f in range(args.frames):
         if args.orbit:
@@ -119,6 +129,7 @@ def main(argv=None):
             scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
             settings, tile=args.tile,
         )
+        diag.frame()
         if args.all_frames:
             path = args.out.replace(".png", f"_{f:03d}.png")
             write_png(path, np.array(out))
