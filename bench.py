@@ -69,7 +69,8 @@ def main():
     state = make_frame_state(settings)
     sky = bake_sky(settings.sunlight)
     bn = load_blue_noise()
-    c2w = cameralib.look_at((150.0, 90.0, 180.0), (0.0, 30.0, 0.0))
+    # The reference's canonical camera pose (examples/castle.rs:126-128).
+    c2w = cameralib.look_at((122.0, 300.61, 54.45), (0.0, 0.0, 0.0))
     cs = cameralib.camera_settings(
         c2w, settings.camera.fov, settings.camera.near,
         settings.camera.far, width, height,

@@ -647,8 +647,10 @@ def trace_scene_pallas(scene, origin, direction, t_min, t_max,
         o_obj = _xform_point(w2o, origin)
         d_obj = _xform_dir(w2o, direction)
         cap = jnp.minimum(t_max, best_t)
+        from dust_tpu.ops.traverse import clip_to_model_aabb
+        tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap)
         t, row, bit = trace_instance_pallas(
-            tables, o_obj, d_obj, t_min, cap, mode=mode, rounds=rounds,
+            tables, o_obj, d_obj, tn, cap, mode=mode, rounds=rounds,
             interpret=interpret,
         )
         closer = t < best_t

@@ -270,6 +270,24 @@ def trace_instance(
     return t_hit, final["hit_row"], final["hit_bit"]
 
 
+def clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, t_max):
+    """Tighten per-ray [t_min, t_max] to the model's occupied AABB. Rays
+    that miss the box entirely get t_max < t_min (immediately inactive).
+    Pure elementwise math — benefits both traversal backends."""
+    bmin = scene.model_aabb_min[m]
+    bmax = scene.model_aabb_max[m]
+    dlen = jnp.maximum(jnp.linalg.norm(d_obj, axis=-1, keepdims=True), 1e-20)
+    dn = d_obj / dlen
+    tiny = jnp.abs(dn) < 1e-20
+    rcp = jnp.where(tiny, jnp.where(dn < 0, -1e20, 1e20),
+                    1.0 / jnp.where(tiny, 1.0, dn))
+    t_lo = (bmin - o_obj) * rcp
+    t_hi = (bmax - o_obj) * rcp
+    enter = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1) / dlen[:, 0]
+    exit_ = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1) / dlen[:, 0]
+    return jnp.maximum(t_min, enter), jnp.minimum(t_max, exit_)
+
+
 def _xform_point(a34, p):
     return jnp.einsum("ij,nj->ni", a34[:, :3], p, precision="highest") + a34[:, 3]
 
@@ -307,9 +325,10 @@ def trace_scene(
         o_obj = _xform_point(w2o, origin)
         d_obj = _xform_dir(w2o, direction)
         cap = jnp.minimum(t_max, best_t)
+        tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap)
         t, row, bit = trace_instance(
             scene.cell_info[m], scene.mask_lo[m], scene.mask_hi[m],
-            o_obj, d_obj, t_min, cap, mode=mode, max_iters=max_iters,
+            o_obj, d_obj, tn, cap, mode=mode, max_iters=max_iters,
         )
         closer = t < best_t
         best_t = jnp.where(closer, t, best_t)

@@ -85,6 +85,10 @@ class DeviceScene(NamedTuple):
     materials: jnp.ndarray      # (Mtot,) int32 palette indices
     palette: jnp.ndarray        # (256, 4) float32, 0..1 sRGB-encoded RGBA
     material_rgba: jnp.ndarray  # (Mtot, 5) int32 [palette_idx, R,G,B,A u8]
+    # Tight per-model AABBs in object space (sky rays skip most of the
+    # 256^3 grid; hardware TLAS gave the reference this for free).
+    model_aabb_min: jnp.ndarray  # (M, 3) float32
+    model_aabb_max: jnp.ndarray  # (M, 3) float32
     # Packed per-leaf attribute rows for one-gather shading:
     # [ox, oy, oz, mask_lo, mask_hi, material_ptr, avg_albedo, 0] int32.
     leaf_attr: jnp.ndarray      # (M*Lmax, 8) int32
@@ -164,6 +168,13 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
 
     tables = stack_tables([build_pallas_tables(g.flat) for g in geos])
 
+    ab_min = np.zeros((M, 3), dtype=np.float32)
+    ab_max = np.full((M, 3), 256.0, dtype=np.float32)
+    for i, g in enumerate(geos):
+        if g.num_blocks:
+            ab_min[i] = g.flat.leaf_origin.min(axis=0)
+            ab_max[i] = g.flat.leaf_origin.max(axis=0) + 4.0
+
     mat_rgba = np.zeros((max(len(materials), 1), 5), dtype=np.int32)
     mat_rgba[: len(materials), 0] = materials
     mat_rgba[: len(materials), 1:5] = scene.palette[materials]
@@ -191,6 +202,8 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         materials=jnp.asarray(materials),
         palette=jnp.asarray(scene.palette.astype(np.float32) / 255.0),
         material_rgba=jnp.asarray(mat_rgba),
+        model_aabb_min=jnp.asarray(ab_min),
+        model_aabb_max=jnp.asarray(ab_max),
         leaf_attr=jnp.asarray(leaf_attr),
         pl_l1=jnp.asarray(tables[0]),
         pl_l2w0=jnp.asarray(tables[1]),

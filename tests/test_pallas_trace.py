@@ -116,3 +116,37 @@ def test_rank_table_row_identity(setup):
         row = rank + int(word & ((1 << bit) - 1)).bit_count()
         assert row == i
         assert flat.leaf_grid[b[i, 0], b[i, 1], b[i, 2]] == i
+
+
+def test_pallas_castle_multichunk():
+    """Castle: 15 mask chunks + 4-chunk cell tables — exercises the
+    multi-chunk gather paths the teapot (1 chunk) cannot."""
+    scene = load_vox_scene(procgen.castle_scene_bytes())
+    geo = scene.geometries[0]
+    tables = build_pallas_tables(geo.flat)
+    assert tables.mask_chunks > 8
+    cell = jnp.asarray(cell_info_grid(geo.flat.leaf_grid))
+    mask_lo = jnp.asarray(geo.flat.mask_lo)
+    mask_hi = jnp.asarray(geo.flat.mask_hi)
+    inst = scene.instances[0]
+    w2o = np.linalg.inv(np.asarray(inst.transform, np.float64)).astype(np.float32)
+
+    c2w = cam.look_at((122.0, 300.61, 54.45), (0.0, 0.0, 0.0))
+    cs = cam.camera_settings(c2w, 0.6, 0.1, 10000.0, 64, 36)  # framed tight
+    dirs = np.array(cam.camera_ray_dirs(cs, 64, 36).reshape(-1, 3))
+    origins = np.broadcast_to(np.array(cs.position), dirs.shape)
+    o = jnp.asarray(origins @ w2o[:3, :3].T + w2o[:3, 3])
+    d = jnp.asarray(dirs @ w2o[:3, :3].T)
+    n = o.shape[0]
+    tmin, tmax = jnp.full(n, 0.1), jnp.full(n, 10000.0)
+
+    t_x, row_x, bit_x = trace_instance(cell, mask_lo, mask_hi, o, d, tmin, tmax)
+    t_p, row_p, bit_p = trace_instance_pallas(tables, o, d, tmin, tmax,
+                                              interpret=True)
+    hx, hp = np.isfinite(np.array(t_x)), np.isfinite(np.array(t_p))
+    assert hx.mean() > 0.3  # the castle footprint fills much of the frame
+    assert (hx == hp).mean() >= 0.995
+    both = hx & hp
+    close = np.isclose(np.array(t_p)[both], np.array(t_x)[both], rtol=2e-3, atol=2e-3)
+    assert close.mean() >= 0.995
+    assert (np.array(row_x)[both][close] == np.array(row_p)[both][close]).mean() >= 0.99
