@@ -7,18 +7,18 @@ The reference never implemented node clearing (``internal.rs:126`` is
 ``todo!()``), so parity requires set/insert refit; clears are supported
 here too.
 
-The editor owns the host-side trees and per-model material state. A refit
-recomputes only the edited models' flat arrays and splices them into the
-:class:`DeviceScene` (in-place ``.at[]`` updates when leaf counts still
-fit the padded pools; full rebuild when a model outgrows them).
+The editor owns the host-side voxel state per model. A refit rebuilds the
+edited models' geometry and reassembles the device scene (every derived
+structure — cell grids, Pallas tables, packed attribute rows, material
+pools, AABBs — stays consistent by construction). Incremental per-model
+splicing is a planned optimisation.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
-from dust_tpu.render.scene import DeviceScene, build_device_scene, cell_info_grid
+from dust_tpu.render.scene import DeviceScene, build_device_scene
 from dust_tpu.vox.collector import collect_material_indices
 from dust_tpu.vox.geometry import build_geometry
 from dust_tpu.vox.loader import VoxScene
@@ -81,7 +81,7 @@ class SceneEditor:
         self._dirty.add(model_id)
 
     def refit(self) -> DeviceScene:
-        """Rebuild dirty models' geometry + splice into the device scene."""
+        """Rebuild dirty models' geometry + reassemble the device scene."""
         if not self._dirty:
             return self.device
 
@@ -101,57 +101,18 @@ class SceneEditor:
                 geo_old.size, geo_old.unit_size,
             )
 
-        lmax = self.device.mask_lo.shape[1]
-        grew = any(
-            self.vox_scene.geometries[m].num_blocks > lmax for m in self._dirty
+        # Rebuild the device scene wholesale. An incremental splice must
+        # refresh every derived structure (cell grids, Pallas bitmap/rank/
+        # mask tables, packed leaf_attr rows, material pools, AABBs) in
+        # lockstep — a stale subset renders wrongly — so round 1 keeps the
+        # single consistent path; per-model incremental refit is a later
+        # optimisation.
+        new = build_device_scene(self.vox_scene)
+        new = new._replace(
+            obj_to_world=self.device.obj_to_world,
+            world_to_obj=self.device.world_to_obj,
+            prev_obj_to_world=self.device.prev_obj_to_world,
         )
-        if grew:
-            # A model outgrew the padded pools: full rebuild.
-            new = build_device_scene(self.vox_scene)
-            new = new._replace(
-                obj_to_world=self.device.obj_to_world,
-                world_to_obj=self.device.world_to_obj,
-                prev_obj_to_world=self.device.prev_obj_to_world,
-            )
-            self.device = new
-            self._dirty.clear()
-            return new
-
-        # Splice: per-model slice updates (the materials pool is rebuilt —
-        # material_ptr offsets shift when any model's voxel count changes).
-        dev = self.device
-        mask_lo = np.array(dev.mask_lo)
-        mask_hi = np.array(dev.mask_hi)
-        origin = np.array(dev.leaf_origin)
-        matptr = np.array(dev.material_ptr)
-        albedo = np.array(dev.avg_albedo)
-        cell = np.array(dev.cell_info)
-        materials = []
-        base = 0
-        for slot, mid in enumerate(self._model_ids):
-            g = self.vox_scene.geometries[mid]
-            L = g.num_blocks
-            if mid in self._dirty:
-                mask_lo[slot] = 0
-                mask_hi[slot] = 0
-                mask_lo[slot, :L] = g.flat.mask_lo
-                mask_hi[slot, :L] = g.flat.mask_hi
-                origin[slot, :L] = g.flat.leaf_origin
-                albedo[slot, :L] = g.avg_albedo
-                cell[slot] = cell_info_grid(g.flat.leaf_grid)
-            matptr[slot, :L] = g.flat.material_ptr.astype(np.int64) + base
-            materials.append(g.materials.astype(np.int32))
-            base += len(g.materials)
-        mats_pool = np.concatenate(materials) if materials else np.zeros(1, np.int32)
-
-        self.device = dev._replace(
-            mask_lo=jnp.asarray(mask_lo),
-            mask_hi=jnp.asarray(mask_hi),
-            leaf_origin=jnp.asarray(origin),
-            material_ptr=jnp.asarray(matptr),
-            avg_albedo=jnp.asarray(albedo),
-            cell_info=jnp.asarray(cell),
-            materials=jnp.asarray(mats_pool),
-        )
+        self.device = new
         self._dirty.clear()
         return self.device

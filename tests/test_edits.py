@@ -61,3 +61,34 @@ class TestSceneEditor:
         dev = build_device_scene(vox)
         ed = SceneEditor(vox, dev)
         assert ed.refit() is dev
+
+
+class TestEditShadingConsistency:
+    def test_edit_updates_all_derived_structures(self):
+        """After refit, shading attributes (leaf_attr/material_rgba) and
+        the Pallas tables must reflect the edit — a stale subset renders
+        wrongly (regression test for the splice-path bug)."""
+        import jax.numpy as jnp
+        from dust_tpu.ops import shade
+        from dust_tpu.ops.pallas_trace import trace_scene_pallas
+
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+
+        size = vox.geometries[0].size
+        cx, cz = size[0] // 2, size[2] // 2
+        pillar = np.array([[cx, y, cz] for y in range(size[1])])
+        ed.set_voxels(0, pillar, palette_idx=8)  # WATER-colored pillar
+        dev2 = ed.refit()
+
+        o = jnp.asarray([[0.0, 200.0, 0.0]], jnp.float32)
+        d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+        # Both backends hit the new pillar top...
+        r_x = trace_scene(dev2, o, d, 0.1, 500.0)
+        r_p = trace_scene_pallas(dev2, o, d, jnp.full(1, 0.1), jnp.full(1, 500.0))
+        assert bool(r_x.hit[0]) and bool(r_p.hit[0])
+        np.testing.assert_allclose(float(r_x.t[0]), float(r_p.t[0]), rtol=1e-3)
+        # ...and shading resolves the edited voxel's palette color.
+        g = shade.resolve_hits(dev2, r_x, o, d)
+        assert int(g["palette_idx"][0]) == 8
