@@ -181,6 +181,22 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=False):
                 out = jnp.where((chunk == c) & (row == r), cand, out)
         return out
 
+    if gate == "chunks":
+        # Per-chunk cond only (one ~120-cycle sync gates ~220 cycles of
+        # shuffles; wins when the tile touches few of many chunks).
+        def chunk_body(c, out):
+            def do_chunk(out):
+                t = tab_ref[c]
+                res = out
+                for r in range(8):
+                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
+                    cand = jnp.take_along_axis(trow, lane, axis=1)
+                    res = jnp.where((chunk == c) & (row == r), cand, res)
+                return res
+            return jax.lax.cond(jnp.any(chunk == c), do_chunk, lambda o: o, out)
+        return jax.lax.fori_loop(0, nchunks, chunk_body,
+                                 jnp.zeros(shape, jnp.int32))
+
     def general():
         def chunk_body(c, out):
             def do_chunk(out):
