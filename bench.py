@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--small", action="store_true", help="tiny smoke run")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
-    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--tile", type=int, default=65536)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", choices=["pallas", "jnp"], default=None)
@@ -91,10 +91,29 @@ def main():
         # reduction is the only reliable completion barrier.
         return float(jnp.sum(x))
 
-    # Warm up (compile + cache fill).
+    # Warm up (compile + cache fill). If the Pallas kernel cannot compile
+    # on this runner, fall back to the XLA backend rather than failing
+    # the benchmark outright.
     t0 = time.time()
-    out, state = step(state)
-    sync(out)
+    try:
+        out, state = step(state)
+        sync(out)
+    except Exception as e:  # pragma: no cover - runner-specific
+        print(f"# pallas backend failed ({type(e).__name__}); "
+              "falling back to jnp", file=sys.stderr)
+        import dataclasses
+        settings = dataclasses.replace(settings, traversal_backend="jnp")
+        state = make_frame_state(settings)
+
+        def step(state, _settings=settings):
+            out, _aux, state = render_frame(
+                scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+                _settings, tile=args.tile,
+            )
+            return out, state
+
+        out, state = step(state)
+        sync(out)
     compile_s = time.time() - t0
     out, state = step(state)
     sync(out)
@@ -104,11 +123,19 @@ def main():
     sync(out)
     roundtrip = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        out, state = step(state)
-    sync(out)
-    dt = max(time.perf_counter() - t0 - roundtrip, 1e-9) / frames
+    # Auto-scale the measured loop until it dwarfs the sync round-trip
+    # (small frames pipeline behind the dispatch otherwise).
+    measured = frames
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(measured):
+            out, state = step(state)
+        sync(out)
+        elapsed = time.perf_counter() - t0
+        if elapsed > max(12.0 * roundtrip, 0.25) or measured >= 64 * frames:
+            break
+        measured *= 4
+    dt = max(elapsed - roundtrip, 1e-9) / measured
 
     rays = width * height * 4 + pool * 2
     mrays = rays / dt / 1e6
@@ -121,7 +148,7 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# {width}x{height}, {frames} frames, {dt*1e3:.1f} ms/frame "
+        f"# {width}x{height}, {measured} frames, {dt*1e3:.1f} ms/frame "
         f"({1.0/dt:.1f} fps), {rays/1e6:.2f} Mrays/frame, compile {compile_s:.1f}s, "
         f"device {jax.devices()[0].device_kind}",
         file=sys.stderr,
