@@ -81,3 +81,50 @@ class TestImageIO:
         p = str(tmp_path / "y.png")
         write_png(p, img)
         assert (read_png(p)[0, 0] == [0, 255, 0]).all()
+
+
+class TestCheckpointMidFlythrough:
+    def test_resume_continues_accumulation(self, tmp_path):
+        """Suspend/resume the cross-frame GI loop (SURVEY §5.4 upgrade):
+        rendering 2+2 frames with a checkpoint in between must agree with
+        4 straight frames."""
+        import jax.numpy as jnp
+        from dust_tpu.ops import camera as cam
+        from dust_tpu.ops.noise import load_blue_noise
+        from dust_tpu.ops.sky import bake_sky
+        from dust_tpu.render.pipeline import render_frame
+        from dust_tpu.render.scene import build_device_scene
+        from dust_tpu.vox import procgen
+        from dust_tpu.vox.loader import load_vox_scene
+
+        settings = RenderSettings(
+            width=48, height=32,
+            spatial_hash=SpatialHashSettings(capacity=1 << 10),
+            surfels=SurfelSettings(pool_size=128),
+        )
+        scene = build_device_scene(load_vox_scene(procgen.teapot_scene_bytes()))
+        sky = bake_sky(settings.sunlight)
+        bn = load_blue_noise()
+        cs = cam.camera_settings(cam.look_at((90, 60, 90), (0, 0, 0)),
+                                 np.pi / 3, 0.1, 10000.0, 48, 32)
+
+        def frames(state, n):
+            for _ in range(n):
+                out, _aux, state = render_frame(
+                    scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+                    settings, tile=512)
+            return out, state
+
+        _, straight = frames(make_frame_state(settings), 4)
+
+        _, st2 = frames(make_frame_state(settings), 2)
+        path = str(tmp_path / "mid.npz")
+        save_state(path, st2)
+        resumed = load_state(path, make_frame_state(settings))
+        out_r, final = frames(resumed, 2)
+
+        assert int(final.frame_index) == 4
+        np.testing.assert_array_equal(
+            np.array(final.spatial_hash.table),
+            np.array(straight.spatial_hash.table),
+        )
