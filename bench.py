@@ -140,8 +140,7 @@ def main():
     rays = width * height * 4 + pool * 2
     mrays = rays / dt / 1e6
     result = {
-        "metric": "Mrays/s/chip (castle 1080p, 1-bounce GI)"
-        if not args.small else "Mrays/s/chip (castle, small)",
+        "metric": f"Mrays/s/chip (castle {width}x{height}, 1-bounce GI)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 500.0, 4),
