@@ -45,8 +45,8 @@ _EPS = 1e-3      # reference DDA exit epsilon (hit.rint:107)
 _STEP_EPS = 1e-4  # cell-sampling nudge
 
 LANES = 128
-# Sublane rows per program (4096 rays at 32). Overridable for tuning
-# experiments via env; 32 measured best so far on v5e.
+# Sublane rows per program (ROWS*128 rays/program). Overridable for tuning
+# experiments via env; see tools/sweep_rows.py for the recorded sweep.
 import os as _os
 ROWS = int(_os.environ.get("DUST_PALLAS_ROWS", "8"))
 

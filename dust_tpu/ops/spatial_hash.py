@@ -123,7 +123,6 @@ def hash_get(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray):
     Returns (found, radiance_acescg, sample_count)."""
     fingerprint = key_fingerprint(qpos, face_id)
     loc = key_location(qpos, face_id, hash_.capacity)
-    slots = loc[..., None] + jnp.arange(NUM_PROBES, dtype=jnp.int32)
     # One 16-wide row gather fetches the whole aligned probe group.
     group = jnp.take(hash_.table.reshape(-1, 16), loc >> 2, axis=0)
     rows = group.reshape(group.shape[:-1] + (4, 4))[..., :NUM_PROBES, :]

@@ -267,7 +267,9 @@ def render_frame(
         illum = jnp.where(hit[:, None], dbg_rad, illum)
 
     # Radiance + hit distance image (REBLUR packing semantics).
-    hitdist = jnp.where(ao_hit, jnp.where(ao.bit == 255, ao.t, ao.t), 0.0)
+    # ao.rchit stores gl_HitTEXT for any hit (the 0xFF report-at-entry mode
+    # only changes *where* the intersector reports, already folded into ao.t).
+    hitdist = jnp.where(ao_hit, ao.t, 0.0)
     hitdist = jnp.where(fg_hit, fg.t, hitdist)
     radiance_img = jnp.where(hit[:, None], illum, sky_out)
     hitdist = jnp.where(hit, hitdist, 100000.0)

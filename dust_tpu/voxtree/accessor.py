@@ -6,7 +6,7 @@ and re-enter at the lowest common ancestor (LCA), found by XOR-ing the old
 and new coordinates and comparing against per-level extent masks
 (accessor.rs:15-30). The unit test at accessor.rs:147-198 (randomised
 set/get round-trip through the cached accessor) is mirrored in
-``tests/test_accessor.py``.
+``tests/test_voxtree.py`` (TestAccessor).
 """
 
 from __future__ import annotations

@@ -82,8 +82,8 @@ class TestSky:
         st = skymod.bake_sky(SunlightSettings())
         assert st.configs.shape == (3, 9)
         assert st.ld_coefs.shape == (3, 6)
-        assert float(jnp.linalg.norm(st.direction)) == np.testing.assert_allclose(
-            float(jnp.linalg.norm(st.direction)), 1.0, rtol=1e-5) or True
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(st.direction)), 1.0, rtol=1e-5)
 
     def test_sky_radiance_positive_above_horizon(self):
         st = skymod.bake_sky(SunlightSettings())
