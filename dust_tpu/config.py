@@ -68,6 +68,15 @@ class DenoiserSettings:
     luminance_sigma: float = 4.0
     # Normalised-hit-distance driven blur scaling (REBLUR-style).
     hitdist_blur_scale: float = 1.0
+    # History clamping: fetched history is clamped to the current frame's
+    # 3x3 mean +- clamp_sigma * sigma box (REBLUR color clamp).
+    clamp_sigma: float = 2.0
+    # Anti-lag fast history cap and sensitivity: the history length is cut
+    # when |fast - slow| luminance exceeds the local noise level
+    # (antilag_sigma * sigma + antilag_relative * signal).
+    fast_max_accumulated_frames: int = 4
+    antilag_sigma: float = 3.0
+    antilag_relative: float = 0.25
 
 
 @dataclasses.dataclass(frozen=True)

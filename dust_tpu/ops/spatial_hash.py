@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dust_tpu.ops.packing import decode_logluv, encode_logluv
@@ -188,24 +189,37 @@ def hash_insert(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray,
         [jnp.ones(1, bool),
          (s_slot[1:] != s_slot[:-1]) | (s_fp[1:] != s_fp[:-1])]
     ) & s_valid
-    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    gid = jnp.where(s_valid, gid, n - 1)  # dump invalids into last bucket
 
-    # One combined (N,4) scatter-add for [sum_rgb, count] — TPU scatters
-    # run at ~10M rows/s, so halving their count matters.
+    # Group totals at run starts via a reverse segmented scan — pure
+    # vector work (a scatter-add into n rows costs ~100 ns/row on TPU;
+    # log2(n) vector passes cost ~1 ms total). Elements of a run are
+    # contiguous after the sort, so the suffix-sum within each run,
+    # evaluated at the run's first element, is exactly the group total.
     contrib = jnp.concatenate(
         [jnp.where(s_valid[:, None], s_val, 0.0),
          s_valid.astype(jnp.float32)[:, None]], axis=-1)
-    acc = jnp.zeros((n, 4)).at[gid].add(contrib)
-    gsum = acc[:, :3]
-    gcnt = acc[:, 3]
+    rf = first[::-1]
+    # In the reversed order, element j starts a fresh segment iff the
+    # element *before* it (reversed) was a run start in original order.
+    q = jnp.concatenate([jnp.ones(1, bool), rf[:-1]])
+
+    def seg_op(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf[:, None], bv, av + bv)
+
+    _, suffix_rev = jax.lax.associative_scan(
+        seg_op, (q, contrib[::-1]))
+    totals = suffix_rev[::-1]  # at run starts: the whole group's sum
+    gsum = totals[:, :3]
+    gcnt = totals[:, 3]
 
     # One representative per group: the sorted position where first=True.
     num_groups_mask = first
     rep_slot = jnp.where(num_groups_mask, s_slot, hash_.capacity)
     rep_fp = s_fp
-    k = jnp.where(num_groups_mask, gcnt[gid], 0.0)
-    vbar = gsum[gid] / jnp.maximum(gcnt[gid], 1.0)[:, None]
+    k = jnp.where(num_groups_mask, gcnt, 0.0)
+    vbar = gsum / jnp.maximum(gcnt, 1.0)[:, None]
 
     # Collision rule: if two *different* fingerprints map to one slot in
     # this batch, keep only the first group for that slot.

@@ -84,18 +84,32 @@ def make_frame_state(settings: RenderSettings) -> FrameState:
     )
 
 
-def _scatter_keep_first(dest, idx, mask, values, size):
-    """Deterministic pool row scatter: for duplicate indices keep the
-    lowest-ranked candidate (the reference's racy last-writer is replaced
-    by a defined order)."""
-    sentinel = jnp.where(mask, idx, size)
-    order = jnp.argsort(sentinel, stable=True)
-    sidx = sentinel[order]
-    first = jnp.concatenate([jnp.ones(1, bool), sidx[1:] != sidx[:-1]])
-    sel = first & (sidx < size)
-    tgt = jnp.where(sel, sidx, size)
-    return dest.at[tgt].set(jnp.where(sel[:, None], values[order], 0.0),
-                            mode="drop")
+def _pool_enqueue_mod(dest, mask, values):
+    """Deterministic pool enqueue for the fixed mapping ``slot = i % size``
+    (the reference's racy last-writer replaced by lowest-index-wins).
+
+    Because the index pattern is static, the scatter collapses to a
+    reshape + first-true reduction over ``ceil(n/size)`` rows — pure
+    vector work, no sort/scatter (a 2M-candidate argsort costs ~180 ms on
+    a v5e; this costs ~1 ms)."""
+    size = dest.shape[0]
+    n = mask.shape[0]
+    k = -(-n // size)
+    pad = k * size - n
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+        values = jnp.concatenate(
+            [values, jnp.zeros((pad,) + values.shape[1:], values.dtype)])
+    m = mask.reshape(k, size)
+    v = values.reshape((k, size) + values.shape[1:])
+    winner = jnp.argmax(m, axis=0)  # first True row (lowest pixel index)
+    any_hit = jnp.any(m, axis=0)
+    # Static select chain over the k rows (k is tiny; XLA keeps it all on
+    # the VPU — take_along_axis would lower to a real gather).
+    picked = v[0]
+    for j in range(1, k):
+        picked = jnp.where((winner == j)[:, None], v[j], picked)
+    return jnp.where(any_hit[:, None], picked, dest)
 
 
 def _pcg_scalar(v):
@@ -251,12 +265,11 @@ def render_frame(
     noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
     enqueue = fg_hit & (noise0 > p_sched)
     pool_size = state.surfels.shape[0]
-    pool_idx = jnp.arange(n, dtype=jnp.int32) % pool_size
     enq_rows = jnp.concatenate(
         [leaf["center_world"], leaf["face"].astype(jnp.float32)[:, None]],
         axis=-1)
-    surfels = _scatter_keep_first(state.surfels, pool_idx, enqueue,
-                                  enq_rows, pool_size)
+    # Pool slot = pixel % pool_size (surfel.rgen's flat launch id mapping).
+    surfels = _pool_enqueue_mod(state.surfels, enqueue, enq_rows)
     if settings.debug_visualize_spatial_hash:
         # hit.rchit DEBUG path: look the primary hit's cell up in the hash
         # and display the cached radiance with the leaf average albedo.
@@ -344,8 +357,8 @@ def render_frame(
     rq_rows = jnp.concatenate(
         [s_leaf["center_world"], s_leaf["face"].astype(jnp.float32)[:, None]],
         axis=-1)
-    surfels = _scatter_keep_first(surfels, jnp.arange(p, dtype=jnp.int32),
-                                  s_requeue, rq_rows, p)
+    # Slot i requeues into itself: the "scatter" is an elementwise select.
+    surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
 
     # -------------------------------------------------- 5. post
     denoised, acc_hd, new_den = denoiselib.denoise(
