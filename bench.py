@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--tile", type=int, default=65536)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", choices=["pallas", "jnp"], default=None)
+    ap.add_argument("--gi-cache", choices=["dense", "hash"], default="dense")
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,9 +65,10 @@ def main():
         spatial_hash=SpatialHashSettings(capacity=cap),
         surfels=SurfelSettings(pool_size=pool),
         traversal_backend=args.backend or ("pallas" if not args.cpu else "jnp"),
+        gi_cache=args.gi_cache,
     )
     scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
-    state = make_frame_state(settings)
+    state = make_frame_state(settings, scene)
     sky = bake_sky(settings.sunlight)
     bn = load_blue_noise()
     # The reference's canonical camera pose (examples/castle.rs:126-128).
@@ -103,7 +105,7 @@ def main():
               "falling back to jnp", file=sys.stderr)
         import dataclasses
         settings = dataclasses.replace(settings, traversal_backend="jnp")
-        state = make_frame_state(settings)
+        state = make_frame_state(settings, scene)
 
         def step(state, _settings=settings):
             out, _aux, state = render_frame(
@@ -137,6 +139,12 @@ def main():
         measured *= 4
     dt = max(elapsed - roundtrip, 1e-9) / measured
 
+    # Per-frame ray budget: 4 full-res launches + 2 rays per GI-cache
+    # patch (the reference's 2-per-surfel-pool-entry; dense mode patches
+    # every (instance, leaf, face) cell instead — count the actual rays).
+    if settings.gi_cache == "dense":
+        from dust_tpu.ops.gi_cache import dense_rows
+        pool = dense_rows(scene)
     rays = width * height * 4 + pool * 2
     mrays = rays / dt / 1e6
     result = {

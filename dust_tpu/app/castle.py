@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--tile", type=int, default=65536)
     ap.add_argument("--hash-capacity", type=int, default=1 << 20)
     ap.add_argument("--surfels", type=int, default=65536)
+    ap.add_argument("--gi-cache", choices=["dense", "hash"], default="dense",
+                    help="GI cache backend (dense = per-leaf-face rows, "
+                    "scatter-free; hash = reference-style spatial hash)")
     ap.add_argument("--backend", choices=["jnp", "pallas"], default="jnp",
                     help="traversal kernel (pallas = the Mosaic fast path)")
     args = ap.parse_args(argv)
@@ -64,6 +67,7 @@ def main(argv=None):
         spatial_hash=SpatialHashSettings(capacity=args.hash_capacity),
         surfels=SurfelSettings(pool_size=args.surfels),
         traversal_backend=args.backend,
+        gi_cache=args.gi_cache,
     )
 
     if args.scene:
@@ -85,7 +89,7 @@ def main(argv=None):
             vox_scene.instances.append(teapot_inst)
 
     scene = build_device_scene(vox_scene)
-    state = make_frame_state(settings)
+    state = make_frame_state(settings, scene)
     sky = bake_sky(settings.sunlight)
     bn = load_blue_noise()
 

@@ -159,6 +159,14 @@ class RenderSettings:
     # "pallas" (hand-written Mosaic kernel).
     traversal_backend: str = "jnp"
 
+    # GI cache backend: "hash" = the reference's open-addressed spatial
+    # hash + stochastic surfel pool (unbounded scenes); "dense" = one row
+    # per (instance, leaf_row, face) cell, scatter-free inserts, every
+    # cell refreshed each frame (the TPU-first fast path; see
+    # ops/gi_cache.py). Dense mode ignores surfels.pool_size — the pool
+    # IS the cell list.
+    gi_cache: str = "hash"
+
     @property
     def num_pixels(self) -> int:
         return self.width * self.height

@@ -43,6 +43,7 @@ from dust_tpu.config import RenderSettings
 from dust_tpu.ops import camera as cameralib
 from dust_tpu.ops import denoise as denoiselib
 from dust_tpu.ops import exposure as exposurelib
+from dust_tpu.ops import gi_cache as gilib
 from dust_tpu.ops import packing as pk
 from dust_tpu.ops import shade
 from dust_tpu.ops import sky as skylib
@@ -58,12 +59,15 @@ INVALID_SURFEL = 7  # direction >= 6 marks an invalid pool entry (surfel.rgen:14
 
 class FrameState(NamedTuple):
     """Everything carried frame to frame (the reference's shared device
-    state: spatial hash + surfel pool buffers standard.rs:334-358, NRD
+    state: GI cache + surfel pool buffers standard.rs:334-358, NRD
     history, auto-exposure average, frame counter, flip-flop camera)."""
 
-    spatial_hash: sh.SpatialHash
+    # GI radiance cache: sh.SpatialHash (gi_cache="hash") or
+    # gilib.DenseGICache (gi_cache="dense").
+    gi: object
     # Surfel pool packed as (P,4) float32 rows [x, y, z, face_id] — one
-    # row scatter per enqueue pass (face ids 0-7 are exact in f32).
+    # row scatter per enqueue pass (face ids 0-7 are exact in f32). In
+    # dense mode the cell list replaces the pool and this is (0, 4).
     surfels: jnp.ndarray
     denoiser: denoiselib.DenoiserState
     exposure_avg: jnp.ndarray   # () float32
@@ -71,12 +75,21 @@ class FrameState(NamedTuple):
     prev_view_proj: jnp.ndarray  # (4,4) float32
 
 
-def make_frame_state(settings: RenderSettings) -> FrameState:
-    p = settings.surfels.pool_size
+def make_frame_state(settings: RenderSettings, scene=None) -> FrameState:
+    if settings.gi_cache == "dense":
+        if scene is None:
+            raise ValueError("gi_cache='dense' sizes the cache from the "
+                             "scene; pass make_frame_state(settings, scene)")
+        gi = gilib.make_dense_gi_cache(gilib.dense_rows(scene))
+        surfels = jnp.zeros((0, 4), jnp.float32)
+    else:
+        gi = sh.make_spatial_hash(settings.spatial_hash.capacity)
+        p = settings.surfels.pool_size
+        surfels = jnp.zeros((p, 4), jnp.float32).at[:, 3].set(
+            float(INVALID_SURFEL))
     return FrameState(
-        spatial_hash=sh.make_spatial_hash(settings.spatial_hash.capacity),
-        surfels=jnp.zeros((p, 4), jnp.float32).at[:, 3].set(
-            float(INVALID_SURFEL)),
+        gi=gi,
+        surfels=surfels,
         denoiser=denoiselib.make_denoiser_state(settings.height, settings.width),
         exposure_avg=jnp.asarray(1.0, jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
@@ -243,13 +256,20 @@ def render_frame(
     ao_hit = ao.hit
 
     # -------------------------------------------------- 3. final gather
+    dense = settings.gi_cache == "dense"
+    lmax = scene.mask_lo.shape[1]
     fg_active = hit & ~ao_hit
     fg = trace(scene, hit_loc, gi_dir, thr,
                jnp.where(fg_active, cam.far, -1.0), "rough")
     leaf = shade.leaf_attributes(scene, fg, hit_loc, gi_dir,
                                  settings.spatial_hash.cell_size)
     fg_hit = fg_active & fg.hit
-    found, cached, cnt = sh.hash_get(state.spatial_hash, leaf["qpos"], leaf["face"])
+    if dense:
+        found, cached, cnt = gilib.dense_get(
+            state.gi, gilib.dense_index(lmax, fg.inst, fg.row, leaf["face"]),
+            fg_hit)
+    else:
+        found, cached, cnt = sh.hash_get(state.gi, leaf["qpos"], leaf["face"])
     albedo_lin = colorlib.srgb_eotf(leaf["avg_albedo"][:, :3], xp=jnp)
     indirect = colorlib.srgb_to_acescg(
         colorlib.acescg_to_srgb(cached, xp=jnp) * albedo_lin, xp=jnp
@@ -260,23 +280,33 @@ def render_frame(
         gi_sky = skylib.sky_radiance(sky_state, gi_dir)
         illum = illum + jnp.where((fg_active & ~fg.hit)[:, None], gi_sky, 0.0)
 
-    # Stochastic surfel enqueue (final_gather.rchit:56-67).
-    p_sched = 1.0 / (cnt.astype(jnp.float32) + 2.0)
-    noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
-    enqueue = fg_hit & (noise0 > p_sched)
-    pool_size = state.surfels.shape[0]
-    enq_rows = jnp.concatenate(
-        [leaf["center_world"], leaf["face"].astype(jnp.float32)[:, None]],
-        axis=-1)
-    # Pool slot = pixel % pool_size (surfel.rgen's flat launch id mapping).
-    surfels = _pool_enqueue_mod(state.surfels, enqueue, enq_rows)
+    if dense:
+        # Dense mode refreshes EVERY cell each frame — no scarce pool to
+        # schedule, so the stochastic enqueue disappears entirely.
+        surfels = state.surfels
+    else:
+        # Stochastic surfel enqueue (final_gather.rchit:56-67).
+        p_sched = 1.0 / (cnt.astype(jnp.float32) + 2.0)
+        noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
+        enqueue = fg_hit & (noise0 > p_sched)
+        enq_rows = jnp.concatenate(
+            [leaf["center_world"], leaf["face"].astype(jnp.float32)[:, None]],
+            axis=-1)
+        # Pool slot = pixel % pool_size (surfel.rgen flat launch id mapping).
+        surfels = _pool_enqueue_mod(state.surfels, enqueue, enq_rows)
     if settings.debug_visualize_spatial_hash:
-        # hit.rchit DEBUG path: look the primary hit's cell up in the hash
-        # and display the cached radiance with the leaf average albedo.
+        # hit.rchit DEBUG path: look the primary hit's cell up in the GI
+        # cache and display the cached radiance with the leaf avg albedo.
         dbg_leaf = shade.leaf_attributes(scene, primary, origins, dirs,
                                          settings.spatial_hash.cell_size)
-        _, dbg_rad, _ = sh.hash_get(state.spatial_hash, dbg_leaf["qpos"],
-                                    dbg_leaf["face"])
+        if dense:
+            _, dbg_rad, _ = gilib.dense_get(
+                state.gi,
+                gilib.dense_index(lmax, primary.inst, primary.row,
+                                  dbg_leaf["face"]), hit)
+        else:
+            _, dbg_rad, _ = sh.hash_get(state.gi, dbg_leaf["qpos"],
+                                        dbg_leaf["face"])
         illum = jnp.where(hit[:, None], dbg_rad, illum)
 
     # Radiance + hit distance image (REBLUR packing semantics).
@@ -288,11 +318,33 @@ def render_frame(
     hitdist = jnp.where(hit, hitdist, 100000.0)
 
     # -------------------------------------------------- 4. surfel pass
-    p = pool_size
-    surfel_pos = surfels[:, :3]
-    surfel_dir = surfels[:, 3].astype(jnp.int32)
-    s_valid = surfel_dir < 6
-    s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
+    if dense:
+        # Dense mode: the "pool" is the static cell list (instance,
+        # leaf_row, face) — every cell patches itself every frame. Leaf
+        # centers transform per instance (tiny static loop); normals are
+        # world-space cube faces, exactly surfel.rgen's geometry.
+        centers, vleafs = [], []
+        for i, m in enumerate(scene.inst_model):
+            co = scene.leaf_origin[m].astype(jnp.float32) + 2.0  # (L,3)
+            o2w = scene.obj_to_world[i]
+            cw = jnp.einsum("ij,nj->ni", o2w[:, :3], co,
+                            precision="highest") + o2w[:, 3]
+            centers.append(cw)
+            vleafs.append((scene.mask_lo[m] | scene.mask_hi[m]) != 0)
+        centers_w = jnp.concatenate(centers)   # (I*L, 3)
+        vleaf = jnp.concatenate(vleafs)        # (I*L,)
+        surfel_pos = jnp.repeat(centers_w, 6, axis=0)
+        surfel_dir = jnp.tile(jnp.arange(6, dtype=jnp.int32),
+                              centers_w.shape[0])
+        s_valid = jnp.repeat(vleaf, 6)
+        p = surfel_pos.shape[0]
+        s_normal = pk.face_id_to_normal(surfel_dir)
+    else:
+        p = surfels.shape[0]
+        surfel_pos = surfels[:, :3]
+        surfel_dir = surfels[:, 3].astype(jnp.int32)
+        s_valid = surfel_dir < 6
+        s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
     s_origin = surfel_pos + 2.01 * s_normal
     sp_y, sp_x = jnp.divmod(jnp.arange(p, dtype=jnp.int32), bn_cosine.shape[2])
     sp = jnp.stack([sp_x, sp_y], axis=-1)
@@ -326,9 +378,15 @@ def render_frame(
     s_leaf = shade.leaf_attributes(scene, s_res, s_origin, s_dir,
                                    settings.spatial_hash.cell_size)
     s_hit = s_valid & s_res.hit
-    s_found, s_cached, s_cnt = sh.hash_get(
-        state.spatial_hash, s_leaf["qpos"], s_leaf["face"]
-    )
+    if dense:
+        s_found, s_cached, s_cnt = gilib.dense_get(
+            state.gi,
+            gilib.dense_index(lmax, s_res.inst, s_res.row, s_leaf["face"]),
+            s_hit)
+    else:
+        s_found, s_cached, s_cnt = sh.hash_get(
+            state.gi, s_leaf["qpos"], s_leaf["face"]
+        )
     s_albedo_lin = colorlib.srgb_eotf(s_leaf["avg_albedo"][:, :3], xp=jnp)
     s_bounce = colorlib.srgb_to_acescg(
         colorlib.acescg_to_srgb(s_cached, xp=jnp) * s_albedo_lin, xp=jnp
@@ -336,29 +394,35 @@ def render_frame(
     s_sky = skylib.sky_radiance(sky_state, s_dir / jnp.maximum(
         jnp.linalg.norm(s_dir, axis=-1, keepdims=True), 1e-8))
 
-    # Insert into the hash at the *surfel's own* cell: hit+found -> bounced
-    # radiance; miss -> sky (surfel.rchit:80-90, surfel.rmiss:15-24).
-    s_qpos = jnp.trunc(surfel_pos / settings.spatial_hash.cell_size).astype(jnp.int32)
-    s_face = jnp.minimum(surfel_dir, 5)
+    # Insert at the *surfel's own* cell: hit+found -> bounced radiance;
+    # miss -> sky (surfel.rchit:80-90, surfel.rmiss:15-24).
     insert_val = jnp.where(
         s_hit[:, None], s_bounce + s_payload, s_sky + s_payload
     )
     insert_ok = s_valid & (~s_hit | s_found)
-    new_hash = sh.hash_insert(
-        state.spatial_hash, s_qpos, s_face, insert_val,
-        frame_index, valid=insert_ok,
-    )
+    if dense:
+        # Elementwise running-mean update — pool row i IS cache row i.
+        new_gi = gilib.dense_update(state.gi, insert_val, insert_ok)
+    else:
+        s_qpos = jnp.trunc(
+            surfel_pos / settings.spatial_hash.cell_size).astype(jnp.int32)
+        s_face = jnp.minimum(surfel_dir, 5)
+        new_gi = sh.hash_insert(
+            state.gi, s_qpos, s_face, insert_val,
+            frame_index, valid=insert_ok,
+        )
 
-    # Hit-but-not-found: stochastically enqueue the hit cell
-    # (surfel.rchit:95-105).
-    s_noise = bn_fetch_pool(bn_scalar, (114, 40))[:, 0]
-    s_p = 1.0 / (s_cnt.astype(jnp.float32) + 2.0)
-    s_requeue = s_hit & ~s_found & (s_noise > s_p)
-    rq_rows = jnp.concatenate(
-        [s_leaf["center_world"], s_leaf["face"].astype(jnp.float32)[:, None]],
-        axis=-1)
-    # Slot i requeues into itself: the "scatter" is an elementwise select.
-    surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
+        # Hit-but-not-found: stochastically enqueue the hit cell
+        # (surfel.rchit:95-105). Dense mode needs no requeue — the hit
+        # cell is already in the cell list and refreshes every frame.
+        s_noise = bn_fetch_pool(bn_scalar, (114, 40))[:, 0]
+        s_p = 1.0 / (s_cnt.astype(jnp.float32) + 2.0)
+        s_requeue = s_hit & ~s_found & (s_noise > s_p)
+        rq_rows = jnp.concatenate(
+            [s_leaf["center_world"],
+             s_leaf["face"].astype(jnp.float32)[:, None]], axis=-1)
+        # Slot i requeues into itself: the scatter is an elementwise select.
+        surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
 
     # -------------------------------------------------- 5. post
     denoised, acc_hd, new_den = denoiselib.denoise(
@@ -395,7 +459,7 @@ def render_frame(
     )
 
     new_state = FrameState(
-        spatial_hash=new_hash,
+        gi=new_gi,
         surfels=surfels,
         denoiser=new_den,
         exposure_avg=new_avg,

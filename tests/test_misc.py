@@ -33,7 +33,7 @@ class TestCheckpoint:
         assert int(loaded.frame_index) == 42
         assert float(loaded.exposure_avg) == 0.25
         np.testing.assert_array_equal(
-            np.array(loaded.spatial_hash.table), np.array(state.spatial_hash.table)
+            np.array(loaded.gi.table), np.array(state.gi.table)
         )
 
     def test_shape_mismatch_rejected(self, tmp_path):
@@ -125,6 +125,6 @@ class TestCheckpointMidFlythrough:
 
         assert int(final.frame_index) == 4
         np.testing.assert_array_equal(
-            np.array(final.spatial_hash.table),
-            np.array(straight.spatial_hash.table),
+            np.array(final.gi.table),
+            np.array(straight.gi.table),
         )

@@ -56,8 +56,8 @@ def test_sharded_matches_unsharded(setup):
     close = np.isclose(a, b, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.999, close.mean()
     # GI caches update identically.
-    occ_ref = (np.array(st_ref.spatial_hash.fingerprint) != 0).sum()
-    occ_sh = (np.array(st_sh.spatial_hash.fingerprint) != 0).sum()
+    occ_ref = (np.array(st_ref.gi.fingerprint) != 0).sum()
+    occ_sh = (np.array(st_sh.gi.fingerprint) != 0).sum()
     assert occ_sh == occ_ref
 
 
@@ -74,3 +74,32 @@ def test_output_is_sharded(setup):
     # The image must actually be distributed over the mesh, not gathered
     # to one device.
     assert len(out.sharding.device_set) == 8
+
+
+def test_sharded_matches_unsharded_dense_gi(setup):
+    """The dense GI cache path (elementwise updates over cell rows) must
+    partition cleanly too: sharded == unsharded."""
+    import dataclasses
+    settings, scene, sky, bn, cs = setup
+    settings = dataclasses.replace(settings, gi_cache="dense")
+    mesh = make_mesh(8)
+    rs = ray_sharding(mesh)
+
+    state = make_frame_state(settings, scene)
+    out_ref, _, st_ref = render_frame(
+        scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar, settings,
+        tile=1024)
+
+    scene_sh = replicate_scene(scene, mesh)
+    state_sh = shard_frame_state(make_frame_state(settings, scene), mesh)
+    out_sh, _, st_sh = render_frame(
+        scene_sh, state_sh, cs, sky, bn.unitvec3_cosine, bn.scalar,
+        settings, ray_sharding=rs,
+    )
+    a, b = np.array(out_ref), np.array(out_sh)
+    assert np.isfinite(b).all()
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.999, close.mean()
+    occ_ref = (np.array(st_ref.gi.count) > 0).sum()
+    occ_sh = (np.array(st_sh.gi.count) > 0).sum()
+    assert occ_sh == occ_ref

@@ -149,7 +149,7 @@ def main():
             lambda r: shade.leaf_attributes(scene, r, hit_loc, gi_dir,
                                             settings.spatial_hash.cell_size)), fg)
         bench("hash_get (2M)", jax.jit(lambda q, f: sh.hash_get(
-            state.spatial_hash, q, f)), leaf["qpos"], leaf["face"])
+            state.gi, q, f)), leaf["qpos"], leaf["face"])
         bench("pool_enqueue_mod (2M->pool)", jax.jit(
             lambda v, m: _pool_enqueue_mod(state.surfels, m, v)),
             jnp.concatenate([leaf["center_world"],
@@ -166,9 +166,9 @@ def main():
         q = jnp.trunc(s_origin / 4.0).astype(jnp.int32)
         f = jnp.zeros((p,), jnp.int32)
         bench(f"hash_get ({p})", jax.jit(lambda q, f: sh.hash_get(
-            state.spatial_hash, q, f)), q, f)
+            state.gi, q, f)), q, f)
         bench(f"hash_insert ({p})", jax.jit(
-            lambda q, f, v: sh.hash_insert(state.spatial_hash, q, f, v,
+            lambda q, f, v: sh.hash_insert(state.gi, q, f, v,
                                            jnp.asarray(0, jnp.int32),
                                            valid=jnp.ones((p,), bool))),
             q, f, jnp.ones((p, 3)))
