@@ -45,17 +45,22 @@ MAX_SAMPLE_COUNT = 404  # spatial_hash.glsl:179
 
 
 class DenseGICache(NamedTuple):
-    """[r, g, b (ACEScg), sample_count] per (instance, leaf_row, face)."""
+    """[r, g, b (ACEScg), sample_count] per (instance, leaf_row, face).
 
-    table: jnp.ndarray  # (R, 4) float32
+    f16 storage halves the 2M-ray fetch (TPU gather cost scales with row
+    bytes); the running mean runs in f32 and rounds on store — the same
+    precision budget as the reference's LogLuv-packed hash rows. Counts
+    ≤ 404 are exact in f16."""
+
+    table: jnp.ndarray  # (R, 4) float16
 
     @property
     def radiance(self) -> jnp.ndarray:
-        return self.table[:, :3]
+        return self.table[:, :3].astype(jnp.float32)
 
     @property
     def count(self) -> jnp.ndarray:
-        return self.table[:, 3]
+        return self.table[:, 3].astype(jnp.float32)
 
 
 def dense_rows(scene) -> int:
@@ -65,7 +70,7 @@ def dense_rows(scene) -> int:
 
 
 def make_dense_gi_cache(rows: int) -> DenseGICache:
-    return DenseGICache(table=jnp.zeros((rows, 4), jnp.float32))
+    return DenseGICache(table=jnp.zeros((rows, 4), jnp.float16))
 
 
 def dense_index(lmax: int, inst: jnp.ndarray, row: jnp.ndarray,
@@ -82,7 +87,7 @@ def dense_get(cache: DenseGICache, idx: jnp.ndarray, valid: jnp.ndarray):
     """Returns (found, radiance_acescg, sample_count) — the hash_get
     contract (spatial_hash.glsl:200-220) without probes or fingerprints:
     a cell is found iff it has ever been written."""
-    rows = jnp.take(cache.table, idx, axis=0)
+    rows = jnp.take(cache.table, idx, axis=0).astype(jnp.float32)
     count = rows[..., 3]
     found = valid & (count > 0)
     radiance = jnp.where(found[..., None], rows[..., :3], 0.0)
@@ -99,7 +104,8 @@ def dense_update(cache: DenseGICache, value: jnp.ndarray,
     new_cnt = jnp.minimum(cache.count + 1.0, float(MAX_SAMPLE_COUNT))
     table = jnp.where(
         valid[:, None],
-        jnp.concatenate([new_rad, new_cnt[:, None]], axis=-1),
+        jnp.concatenate([new_rad, new_cnt[:, None]],
+                        axis=-1).astype(jnp.float16),
         cache.table,
     )
     return DenseGICache(table=table)

@@ -59,13 +59,16 @@ def resolve_hits(scene, res, origin_w, dir_w):
     lmax = scene.mask_lo.shape[1]
     flat_row = model * lmax + jnp.maximum(res.row, 0)
 
-    # One 8-wide row gather for all per-leaf attributes (TPU gathers are
-    # row-granular; five scalar gathers cost 5x one wide one).
+    # One narrow row gather for all per-leaf attributes (TPU gather cost
+    # scales with row bytes: origin packed 3x u8 into one word).
     attr = jnp.take(scene.leaf_attr, flat_row, axis=0)
-    leaf_origin = attr[:, 0:3]
-    mask_lo = attr[:, 3].astype(jnp.uint32)
-    mask_hi = attr[:, 4].astype(jnp.uint32)
-    mat_ptr = attr[:, 5]
+    po = attr[:, 0].astype(jnp.uint32)
+    leaf_origin = jnp.stack(
+        [po & 0xFF, (po >> 8) & 0xFF, (po >> 16) & 0xFF], axis=-1
+    ).astype(jnp.int32)
+    mask_lo = attr[:, 1].astype(jnp.uint32)
+    mask_hi = attr[:, 2].astype(jnp.uint32)
+    mat_ptr = attr[:, 3]
 
     # Object-space hit point: transform the world ray per instance.
     o_obj = _inst_xform(scene.world_to_obj, inst, origin_w, True)
@@ -95,12 +98,17 @@ def resolve_hits(scene, res, origin_w, dir_w):
         jnp.uint32(0),
     )
     offset = _popcount32(below_lo) + _popcount32(below_hi)
-    # material_rgba = palette[materials] precomputed host-side: one row
-    # gather yields index + color together.
-    mrow = jnp.take(scene.material_rgba, mat_ptr + offset, axis=0, mode="clip")
-    palette_idx = mrow[:, 0].astype(jnp.int32)
-    albedo = mrow[:, 1:5].astype(jnp.float32) / 255.0
-    albedo = jnp.where(hit[:, None], albedo.at[:, 3].set(1.0), 1.0)
+    # material_rgba = palette[materials] precomputed host-side into ONE
+    # word per voxel (R|G<<8|B<<16|palette_idx<<24): one minimal-width
+    # gather yields color + index together. Alpha needs no bits —
+    # hit.rchit forces A=1 on hits and misses use 1.0.
+    rgba = jnp.take(scene.material_rgba, mat_ptr + offset,
+                    mode="clip").astype(jnp.uint32)
+    palette_idx = ((rgba >> 24) & 0xFF).astype(jnp.int32)
+    albedo = jnp.stack(
+        [rgba & 0xFF, (rgba >> 8) & 0xFF, (rgba >> 16) & 0xFF,
+         jnp.full_like(rgba, 255)], axis=-1).astype(jnp.float32) / 255.0
+    albedo = jnp.where(hit[:, None], albedo, 1.0)
 
     # World hit point + previous-frame reprojection (hit.rchit:90-94).
     hit_w = origin_w + dir_w * t[:, None]
@@ -140,9 +148,12 @@ def leaf_attributes(scene, res, origin_w, dir_w, cell_size: float = 4.0):
     lmax = scene.mask_lo.shape[1]
     flat_row = model * lmax + jnp.maximum(res.row, 0)
 
-    attr = jnp.take(scene.leaf_attr, flat_row, axis=0)
-    leaf_origin = attr[:, 0:3].astype(jnp.float32)
-    avg_albedo = attr[:, 6].astype(jnp.uint32)
+    attr = jnp.take(scene.leaf_attr_fg, flat_row, axis=0)
+    po = attr[:, 0].astype(jnp.uint32)
+    leaf_origin = jnp.stack(
+        [po & 0xFF, (po >> 8) & 0xFF, (po >> 16) & 0xFF], axis=-1
+    ).astype(jnp.float32)
+    avg_albedo = attr[:, 1].astype(jnp.uint32)
 
     o_obj = _inst_xform(scene.world_to_obj, inst, origin_w, True)
     d_obj = _inst_xform(scene.world_to_obj, inst, dir_w, False)

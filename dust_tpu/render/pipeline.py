@@ -198,15 +198,22 @@ def render_frame(
 
     dirs = to_tiles(cameralib.camera_ray_dirs(cam, W, H))
     origins = jnp.broadcast_to(cam.position, (n, 3))
-    pix_lin = to_tiles(jnp.arange(n, dtype=jnp.int32).reshape(H, W))
-    pix_y, pix_x = jnp.divmod(pix_lin, W)
-    pix = jnp.stack([pix_x, pix_y], axis=-1)
     layer = frame_index % bn_cosine.shape[0]
 
     def bn_fetch(table, offset):
-        x = (pix[:, 0] + offset[0] + rand) % table.shape[2]
-        y = (pix[:, 1] + offset[1] + rand) % table.shape[1]
-        return table[layer, y, x]
+        """Noise value per pixel: ``table[layer, (py+oy+rand)%S, (px+ox+
+        rand)%S]``. The pattern is the layer tiled periodically with a
+        shift, so instead of a 2M-element gather (+ a whole-table VMEM
+        prefetch, ~30 ms/frame measured) it is a dynamic-slice + roll +
+        tile — pure data movement."""
+        th, tw = table.shape[1], table.shape[2]
+        page = jax.lax.dynamic_index_in_dim(table, layer, axis=0,
+                                            keepdims=False)
+        page = jnp.roll(page, shift=(-(offset[1] + rand) % th,
+                                     -(offset[0] + rand) % tw), axis=(0, 1))
+        reps_y, reps_x = -(-H // th), -(-W // tw)
+        img = jnp.tile(page, (reps_y, reps_x, 1))[:H, :W]
+        return to_tiles(img)
 
     # -------------------------------------------------- 1. primary
     dirs = shard(dirs)

@@ -84,14 +84,21 @@ class DeviceScene(NamedTuple):
     # Shared material/palette pools.
     materials: jnp.ndarray      # (Mtot,) int32 palette indices
     palette: jnp.ndarray        # (256, 4) float32, 0..1 sRGB-encoded RGBA
-    material_rgba: jnp.ndarray  # (Mtot, 5) int32 [palette_idx, R,G,B,A u8]
+    # R | G<<8 | B<<16 | palette_idx<<24, one word per voxel — rows kept
+    # as narrow as possible on purpose: TPU gather cost scales with row
+    # bytes and this table eats a 2M-ray gather per frame. The alpha
+    # byte is free to hold the index because hit.rchit forces A=1 on
+    # hits; full RGBA remains available via palette[palette_idx].
+    material_rgba: jnp.ndarray  # (Mtot,) int32
     # Tight per-model AABBs in object space (sky rays skip most of the
     # 256^3 grid; hardware TLAS gave the reference this for free).
     model_aabb_min: jnp.ndarray  # (M, 3) float32
     model_aabb_max: jnp.ndarray  # (M, 3) float32
     # Packed per-leaf attribute rows for one-gather shading:
-    # [ox, oy, oz, mask_lo, mask_hi, material_ptr, avg_albedo, 0] int32.
-    leaf_attr: jnp.ndarray      # (M*Lmax, 8) int32
+    # [ox|oy<<8|oz<<16, mask_lo, mask_hi, material_ptr] (hit.rchit needs).
+    leaf_attr: jnp.ndarray      # (M*Lmax, 4) int32
+    # [ox|oy<<8|oz<<16, avg_albedo] (final_gather/surfel.rchit needs).
+    leaf_attr_fg: jnp.ndarray   # (M*Lmax, 2) int32
     # Pallas traversal tables (stacked over models; see ops/pallas_trace).
     pl_l1: jnp.ndarray          # (M, 8, 128) int32 packed L1 skip nibbles
     pl_l2w0: jnp.ndarray        # (M, 4, 8, 128) int32
@@ -175,16 +182,23 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
             ab_min[i] = g.flat.leaf_origin.min(axis=0)
             ab_max[i] = g.flat.leaf_origin.max(axis=0) + 4.0
 
-    mat_rgba = np.zeros((max(len(materials), 1), 5), dtype=np.int32)
-    mat_rgba[: len(materials), 0] = materials
-    mat_rgba[: len(materials), 1:5] = scene.palette[materials]
+    mat_rgba = np.zeros(max(len(materials), 1), dtype=np.int32)
+    rgba8 = scene.palette[materials].astype(np.uint32)
+    mat_rgba[: len(materials)] = (
+        rgba8[:, 0] | (rgba8[:, 1] << 8) | (rgba8[:, 2] << 16)
+        | (materials.astype(np.uint32) << 24)
+    ).view(np.int32)
 
-    leaf_attr = np.zeros((M * lmax, 8), dtype=np.int32)
-    leaf_attr[:, 0:3] = origin.reshape(-1, 3)
-    leaf_attr[:, 3] = mask_lo.reshape(-1).view(np.int32)
-    leaf_attr[:, 4] = mask_hi.reshape(-1).view(np.int32)
-    leaf_attr[:, 5] = matptr.reshape(-1)
-    leaf_attr[:, 6] = albedo.reshape(-1).view(np.int32)
+    o = origin.reshape(-1, 3).astype(np.uint32)
+    packed_origin = (o[:, 0] | (o[:, 1] << 8) | (o[:, 2] << 16)).view(np.int32)
+    leaf_attr = np.zeros((M * lmax, 4), dtype=np.int32)
+    leaf_attr[:, 0] = packed_origin
+    leaf_attr[:, 1] = mask_lo.reshape(-1).view(np.int32)
+    leaf_attr[:, 2] = mask_hi.reshape(-1).view(np.int32)
+    leaf_attr[:, 3] = matptr.reshape(-1)
+    leaf_attr_fg = np.zeros((M * lmax, 2), dtype=np.int32)
+    leaf_attr_fg[:, 0] = packed_origin
+    leaf_attr_fg[:, 1] = albedo.reshape(-1).view(np.int32)
 
     inst_model = tuple(id_to_slot[inst.model_id] for inst in scene.instances)
     o2w = np.stack([inst.transform[:3, :4] for inst in scene.instances]).astype(
@@ -205,6 +219,7 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         model_aabb_min=jnp.asarray(ab_min),
         model_aabb_max=jnp.asarray(ab_max),
         leaf_attr=jnp.asarray(leaf_attr),
+        leaf_attr_fg=jnp.asarray(leaf_attr_fg),
         pl_l1=jnp.asarray(tables[0]),
         pl_l2w0=jnp.asarray(tables[1]),
         pl_l2w1=jnp.asarray(tables[2]),
