@@ -164,12 +164,41 @@ def render_frame(
             return x
         return jax.lax.with_sharding_constraint(x, ray_sharding)
 
-    use_pallas = settings.traversal_backend == "pallas" and ray_sharding is None
+    use_pallas = settings.traversal_backend == "pallas"
 
     def trace(scene_, o, d, tn, tx, mode):
         if use_pallas:
             from dust_tpu.ops.pallas_trace import trace_scene_pallas
-            return trace_scene_pallas(scene_, o, d, tn, tx, mode=mode)
+            if ray_sharding is None:
+                return trace_scene_pallas(scene_, o, d, tn, tx, mode=mode)
+            # Multi-chip fast path (SURVEY §2.9): the mesh IS the outer
+            # tiling — shard_map runs the Pallas kernel per device on its
+            # local ray shard with the scene tables replicated, so tracing
+            # needs zero collectives and scales linearly over ICI.
+            from jax.sharding import PartitionSpec as P
+            shard_map = jax.shard_map
+            n_ = o.shape[0]
+            nd = ray_sharding.mesh.size
+            pad = (-n_) % nd
+            tn_ = jnp.broadcast_to(jnp.asarray(tn, jnp.float32), (n_,))
+            tx_ = jnp.broadcast_to(jnp.asarray(tx, jnp.float32), (n_,))
+            if pad:  # ray counts must split evenly over the mesh
+                o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+                tn_ = jnp.concatenate([tn_, jnp.zeros((pad,), jnp.float32)])
+                tx_ = jnp.concatenate(
+                    [tx_, jnp.full((pad,), -1.0, jnp.float32)])  # inactive
+            spec = ray_sharding.spec
+            scene_specs = jax.tree.map(lambda _: P(), scene_)
+            local = partial(trace_scene_pallas, mode=mode)
+            res = shard_map(
+                local, mesh=ray_sharding.mesh,
+                in_specs=(scene_specs, spec, spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(scene_, o, d, tn_, tx_)
+            if pad:
+                res = jax.tree.map(lambda x: x[:n_], res)
+            return res
         if ray_sharding is None:
             return trace_scene_tiled(scene_, o, d, tn, tx, mode=mode, tile=tile)
         from dust_tpu.ops.traverse import trace_scene
