@@ -81,7 +81,7 @@ def main():
     def step(state):
         out, _aux, state = render_frame(
             scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
-            settings, tile=args.tile,
+            settings, tile=args.tile, return_aux=False,
         )
         return out, state
 
@@ -110,7 +110,7 @@ def main():
         def step(state, _settings=settings):
             out, _aux, state = render_frame(
                 scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
-                _settings, tile=args.tile,
+                _settings, tile=args.tile, return_aux=False,
             )
             return out, state
 

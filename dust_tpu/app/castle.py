@@ -131,7 +131,7 @@ def main(argv=None):
 
         out, aux, state = render_frame(
             scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
-            settings, tile=args.tile,
+            settings, tile=args.tile, return_aux=False,
         )
         diag.frame()
         if args.all_frames:

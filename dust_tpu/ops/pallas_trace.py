@@ -381,6 +381,10 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
 
                 # Advance: occupied cell -> one block; empty cell with
                 # chebyshev distance d -> exit the whole (2d-1)³ empty box.
+                # Only the EXIT planes matter here (the sample point is
+                # inside the box by construction), so instead of a full
+                # 6-plane slab test this computes one plane per axis —
+                # the face in the direction of travel (p01 selects it).
                 df = jnp.maximum(dist, 1).astype(jnp.float32)
                 fx = jnp.where(occ1, bx.astype(jnp.float32) * 4.0,
                                (c1x.astype(jnp.float32) - (df - 1.0)) * 16.0)
@@ -389,8 +393,14 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 fz = jnp.where(occ1, bz.astype(jnp.float32) * 4.0,
                                (c1z.astype(jnp.float32) - (df - 1.0)) * 16.0)
                 wsize = jnp.where(occ1, 4.0, (2.0 * df - 1.0) * 16.0)
-                _, s_exit = _slab3(ox, oy, oz, rx, ry, rz,
-                                   fx, fy, fz, fx + wsize, fy + wsize, fz + wsize)
+                # abs() covers both signs AND zero directions: for d<0 the
+                # product is positive anyway; for d≈0 (r = ±1e20 with the
+                # sample inside the box) it flips -huge to +huge — matching
+                # the old full-slab behavior without any loop-carried guard.
+                ex = jnp.abs((fx + p01x * wsize - ox) * rx)
+                ey = jnp.abs((fy + p01y * wsize - oy) * ry)
+                ez = jnp.abs((fz + p01z * wsize - oz) * rz)
+                s_exit = jnp.minimum(jnp.minimum(ex, ey), ez)
                 s_next = jnp.maximum(s_exit, s + _STEP_EPS)
                 advance = stepping & ~newly
                 s = jnp.where(advance, s_next, s)

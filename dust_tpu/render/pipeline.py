@@ -132,7 +132,8 @@ def _pcg_scalar(v):
     return ((word >> 22) ^ word).astype(jnp.int32) & 0x7FFF
 
 
-@partial(jax.jit, static_argnames=("settings", "tile", "ray_sharding"),
+@partial(jax.jit,
+         static_argnames=("settings", "tile", "ray_sharding", "return_aux"),
          donate_argnames=("state",))
 def render_frame(
     scene,
@@ -144,6 +145,7 @@ def render_frame(
     settings: RenderSettings,
     tile: int = 16384,
     ray_sharding=None,
+    return_aux: bool = True,
 ):
     """Render one frame. Returns (output_srgb (H,W,3), aux dict, new state).
 
@@ -473,15 +475,18 @@ def render_frame(
         settings.denoiser,
     )
 
-    hist = exposurelib.luminance_histogram(denoised, settings.exposure)
+    weighted = exposurelib.mean_bin(denoised, settings.exposure)
     new_avg = exposurelib.adapt_average_luminance(
-        hist, state.exposure_avg, n, settings.exposure
+        None, state.exposure_avg, n, settings.exposure, weighted=weighted
     )
     exposure = exposurelib.exposure_value(new_avg)
 
     albedo_img = from_tiles(g["albedo"][:, :3])
     output = tonemaplib.tonemap(denoised, albedo_img, exposure, transfer="srgb")
 
+    # G-buffer channels are jit OUTPUTS: returning them forces XLA to
+    # materialise every image in HBM in output layout even if the caller
+    # drops them. Benchmarks/headless loops pass return_aux=False.
     aux = dict(
         depth=from_tiles(g["depth"]),
         albedo=albedo_img,
@@ -492,7 +497,7 @@ def render_frame(
         hitdist=from_tiles(hitdist),
         denoised=denoised,
         exposure=exposure,
-    )
+    ) if return_aux else {}
 
     new_state = FrameState(
         gi=new_gi,

@@ -53,17 +53,19 @@ def run_one():
         scene, o, d, tn, tx, mode=mode), static_argnames=("mode",))
 
     total = 0.0
+    K = 10  # dispatches per sync: amortises tunnel latency + noise
     for mode, tn, tx in [("precise", 0.1, 10000.0), ("rough", 0.1, 10000.0),
                          ("ao_threshold", 0.1, 8.0)]:
         r = trace(origins, dirs, tn, tx, mode)
         sync(r)
         best = 1e9
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
-            r = trace(origins, dirs, tn, tx, mode)
+            for _ in range(K):
+                r = trace(origins, dirs, tn, tx, mode)
             sync(r)
-            best = min(best, time.perf_counter() - t0)
-        best = max(best - rt, 0.0)
+            best = min(best, (time.perf_counter() - t0 - rt) / K)
+        best = max(best, 1e-9)
         total += best
         print(f"ROWS={ROWS:3d} {mode:13s} {best*1e3:7.2f} ms "
               f"({n/best/1e6:6.1f} Mrays/s)")
