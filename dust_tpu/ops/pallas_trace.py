@@ -265,17 +265,30 @@ def _slab3(ox, oy, oz, rx, ry, rz, mnx, mny, mnz, mxx, mxy, mxz):
 
 def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                  march_cap: int, micro_cap: int):
-    """Build the kernel body (static configuration baked in)."""
+    """Build the kernel body (static configuration baked in).
 
-    def kernel(l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
-               mlo_ref, mhi_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               smin_ref, smax_ref,
-               hit_ref, row_ref, bit_ref):
+    ``mode="ao_fg"`` fuses the AO and final-gather passes into ONE
+    traversal (they continue the same ray: ambient_occlusion.rgen +
+    final_gather.rgen share the cosine sample): below ``s_ao`` the
+    ao_threshold semantics apply (entry-report quirk included), past it
+    the rough semantics (hit = block entry). The kernel then takes one
+    extra ray input (s_ao) and returns (ao_t, fg_t, fg_row)."""
+    fused = mode == "ao_fg"
+
+    def kernel(*refs):
+        (l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+         mlo_ref, mhi_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         smin_ref) = refs[:14]
+        if fused:
+            sao_ref, smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
+        else:
+            smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
         shape = ox_ref.shape
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         s_min, s_stop = smin_ref[:], smax_ref[:]
+        s_ao = sao_ref[:] if fused else None
 
         rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
         sx = jnp.where(dx > 0, 1, -1).astype(jnp.int32)
@@ -536,8 +549,148 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
                     rnd + jnp.int32(1))
 
+        def round_body_fused(rstate):
+            """AO + final gather in one walk. Candidate dispatch:
+            1. threshold inside the block  -> AO entry-report (ao.rint's
+               0xFF quirk; the ray is done — final gather only runs for
+               AO-miss rays, final_gather.rgen:24),
+            2. block fully below s_ao      -> micro DDA, voxel hit = AO,
+            3. block fully past s_ao       -> rough: hit at block entry
+               if it is >= s_ao (the split FG pass rejects straddling
+               blocks the same way), else skip past."""
+            active_i, s, ao_t, fg_t, fg_row, rnd = rstate
+            active = active_i != 0
+            (active, s, cand, cword, cwidx, cbit,
+             cbx, cby, cbz) = march(active, s)
+
+            ccl = jnp.where(cand, cwidx >> 1, 0)
+            half = cwidx & 1
+            r0 = _gather_chunked(l2r0_ref, ccl, 4)
+            r1 = _gather_chunked(l2r1_ref, ccl, 4)
+            rank = jnp.where(half == 0, r0, r1)
+            row = rank + _popcount_below(cword, cbit)
+
+            fx = cbx.astype(jnp.float32) * 4.0
+            fy = cby.astype(jnp.float32) * 4.0
+            fz = cbz.astype(jnp.float32) * 4.0
+            blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
+                                     fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+
+            # 1. AO entry-report.
+            thr_inside = cand & active & (s <= s_ao) & (s_ao <= blk_out)
+            ao_t = jnp.where(thr_inside, s, ao_t)
+            active = active & ~thr_inside
+
+            # 3. rough final-gather past the threshold.
+            fg_blk = cand & active & (s > s_ao)
+            ok_fg = fg_blk & (blk_in >= s_ao) & (blk_in <= s_end)
+            fg_t = jnp.where(ok_fg, jnp.maximum(blk_in, 0.0), fg_t)
+            fg_row = jnp.where(ok_fg, row, fg_row)
+            active = active & ~ok_fg
+            skip = fg_blk & ~ok_fg & active
+            s = jnp.where(skip, jnp.maximum(blk_out, s + _STEP_EPS), s)
+            active = active & (s < s_end)
+
+            # 2. micro DDA below the threshold (s_ao > blk_out here, so
+            # every voxel in the block is within AO range). The whole
+            # section — including the 15-chunk mask gathers — is gated:
+            # AO lanes drain within the first couple of rounds (the
+            # threshold spans at most 3 blocks), after which the fused
+            # walk is pure rough-FG and must not pay mask fetches.
+            in_micro = cand & active & ~thr_inside & ~fg_blk
+
+            def do_micro(args):
+                active_i2, s, ao_t = args
+                active = active_i2 != 0
+                mrow = jnp.where(in_micro, row, 0)
+                mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks)
+                mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks)
+
+                s_m = jnp.maximum(s, s_min)
+                pmx = ox + dx * s_m
+                pmy = oy + dy * s_m
+                pmz = oz + dz * s_m
+                mx = jnp.clip(jnp.floor(pmx).astype(jnp.int32),
+                              cbx * 4, cbx * 4 + 3)
+                my = jnp.clip(jnp.floor(pmy).astype(jnp.int32),
+                              cby * 4, cby * 4 + 3)
+                mz = jnp.clip(jnp.floor(pmz).astype(jnp.int32),
+                              cbz * 4, cbz * 4 + 3)
+                tmx = jnp.where(jnp.abs(dx) < 1e-20, 1e30,
+                                (mx.astype(jnp.float32) + p01x - ox) * rx)
+                tmy = jnp.where(jnp.abs(dy) < 1e-20, 1e30,
+                                (my.astype(jnp.float32) + p01y - oy) * ry)
+                tmz = jnp.where(jnp.abs(dz) < 1e-20, 1e30,
+                                (mz.astype(jnp.float32) + p01z - oz) * rz)
+
+                def mcond(st):
+                    return jnp.any(st[0] != 0) & (st[-1] < micro_cap)
+
+                def mbody(st):
+                    (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz,
+                     active_i, ao_t, i) = st
+                    in_micro = in_micro_i != 0
+                    active = active_i != 0
+                    bit = ((mx & 3) << 4) | ((my & 3) << 2) | (mz & 3)
+                    in_lo = bit < 32
+                    blo = _bit_test_i32(mask_lo, jnp.where(in_lo, bit, 0))
+                    bhi = _bit_test_i32(mask_hi, jnp.where(in_lo, 0, bit - 32))
+                    occ = jnp.where(in_lo, blo, bhi) != 0
+
+                    hit_now = in_micro & occ
+                    ao_t = jnp.where(hit_now, s_m, ao_t)
+                    active2 = active & ~hit_now
+                    in_micro = in_micro & ~hit_now
+
+                    s_next = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
+                    exited = in_micro & (s_next + _EPS >= blk_out)
+                    adv = in_micro & ~exited
+                    take_x = adv & (tmx <= tmy) & (tmx <= tmz)
+                    take_y = adv & ~take_x & (tmy <= tmz)
+                    take_z = adv & ~take_x & ~take_y
+                    mx = jnp.where(take_x, mx + sx, mx)
+                    my = jnp.where(take_y, my + sy, my)
+                    mz = jnp.where(take_z, mz + sz, mz)
+                    tmx = jnp.where(take_x, tmx + jnp.abs(rx), tmx)
+                    tmy = jnp.where(take_y, tmy + jnp.abs(ry), tmy)
+                    tmz = jnp.where(take_z, tmz + jnp.abs(rz), tmz)
+                    s_m = jnp.where(adv, s_next, s_m)
+                    in_micro = in_micro & ~exited
+                    return (in_micro.astype(jnp.int32), s_m, mx, my, mz,
+                            tmx, tmy, tmz, active2.astype(jnp.int32),
+                            ao_t, i + jnp.int32(1))
+
+                st = (in_micro.astype(jnp.int32), s_m, mx, my, mz,
+                      tmx, tmy, tmz, active.astype(jnp.int32), ao_t,
+                      jnp.int32(0))
+                st = jax.lax.while_loop(mcond, mbody, st)
+                active2 = st[8] != 0
+                ao_t = st[9]
+
+                resumed = in_micro & active2
+                s2 = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS),
+                               s)
+                return active2.astype(jnp.int32), s2, ao_t
+
+            active_i2, s, ao_t = jax.lax.cond(
+                jnp.any(in_micro), do_micro, lambda a: a,
+                (active.astype(jnp.int32), s, ao_t))
+            active = (active_i2 != 0) & (s < s_end)
+            return (active.astype(jnp.int32), s, ao_t, fg_t, fg_row,
+                    rnd + jnp.int32(1))
+
         def round_cond(rstate):
             return jnp.any(rstate[0] != 0) & (rstate[-1] < rounds)
+
+        if fused:
+            rstate = (active.astype(jnp.int32), s, hit_s,
+                      jnp.full(shape, jnp.inf, jnp.float32), hit_row,
+                      jnp.int32(0))
+            rstate = jax.lax.while_loop(round_cond, round_body_fused, rstate)
+            hit_ref[:] = rstate[2]   # ao_t
+            row_ref[:] = rstate[3]   # fg_t (f32 output)
+            bit_ref[:] = rstate[4]   # fg_row
+            return
 
         rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
                   jnp.int32(0))
@@ -614,6 +767,128 @@ def trace_instance_pallas(tables, origin, direction, t_min, t_max,
     )
     hit_s = hit_s.reshape(-1)[:n]
     return hit_s / dlen, row.reshape(-1)[:n], bit.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("mask_chunks", "rounds", "interpret"))
+def _trace_pallas_ao_fg(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
+                        ox, oy, oz, dx, dy, dz,
+                        smin, sao, smax, mask_chunks, rounds,
+                        interpret=False):
+    n_rows = ox.shape[0]
+    grid = n_rows // ROWS
+    kernel = _make_kernel(mask_chunks, "ao_fg", rounds,
+                          march_cap=160, micro_cap=12)
+
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[tab_spec] * 7 + [ray_spec] * 9,
+        out_specs=[ray_spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # ao_t
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # fg_t
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # fg_row
+        ],
+        interpret=interpret,
+    )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
+      ox, oy, oz, dx, dy, dz, smin, sao, smax)
+    return out
+
+
+def trace_instance_pallas_ao_fg(tables, origin, direction,
+                                t_min, t_ao, t_max,
+                                rounds: int = 16, interpret: bool = False):
+    """Fused AO + final-gather trace against one model: one traversal of
+    the shared cosine ray (contract: ``t_min <= t_ao <= t_max`` per
+    active lane; inactive lanes carry ``t_ao = t_max = -1``). Returns
+    (ao_t, fg_t, fg_row) with t = inf on miss."""
+    n = origin.shape[0]
+    dlen = jnp.maximum(jnp.linalg.norm(direction, axis=-1), 1e-20)
+    dn = direction / dlen[:, None]
+
+    block = ROWS * LANES
+    pad = (-n) % block
+
+    def prep(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
+        return x.reshape(-1, LANES)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_ao = jnp.broadcast_to(jnp.asarray(t_ao, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    ao_s, fg_s, fg_row = _trace_pallas_ao_fg(
+        tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0, tables.l2_r1,
+        tables.mask_lo, tables.mask_hi,
+        prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
+        prep(dn[:, 0], 1.0), prep(dn[:, 1], 1.0), prep(dn[:, 2], 1.0),
+        prep(t_min * dlen), prep(t_ao * dlen, -1.0),
+        prep(t_max * dlen, -1.0),
+        mask_chunks=tables.mask_chunks, rounds=rounds, interpret=interpret,
+    )
+    ao_s = ao_s.reshape(-1)[:n]
+    fg_s = fg_s.reshape(-1)[:n]
+    return ao_s / dlen, fg_s / dlen, fg_row.reshape(-1)[:n]
+
+
+def trace_scene_pallas_ao_fg(scene, origin, direction, t_min, t_ao, t_max,
+                             rounds: int = 16,
+                             interpret: bool | None = None):
+    """Fused AO + final-gather over every instance. Returns two
+    TraceResults (ao, fg): ao carries only t/inst (row/bit are -1 — the
+    pipeline reads ao.hit and ao.t; ambient_occlusion.rchit packs hitT
+    alone), fg matches the rough trace contract."""
+    from dust_tpu.ops.traverse import TraceResult, clip_to_model_aabb
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    n = origin.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_ao = jnp.broadcast_to(jnp.asarray(t_ao, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    ao_t = jnp.full(n, jnp.inf)
+    ao_inst = -jnp.ones(n, jnp.int32)
+    fg_t = jnp.full(n, jnp.inf)
+    fg_inst = -jnp.ones(n, jnp.int32)
+    fg_row = -jnp.ones(n, jnp.int32)
+
+    for i, m in enumerate(scene.inst_model):
+        tables = PallasTables(
+            l1=scene.pl_l1[m],
+            l2_w0=scene.pl_l2w0[m], l2_w1=scene.pl_l2w1[m],
+            l2_r0=scene.pl_l2r0[m], l2_r1=scene.pl_l2r1[m],
+            mask_lo=scene.pl_mlo[m], mask_hi=scene.pl_mhi[m],
+        )
+        w2o = scene.world_to_obj[i]
+        o_obj = _xform_point(w2o, origin)
+        d_obj = _xform_dir(w2o, direction)
+        # fg hits satisfy fg_t >= t_ao, so capping by the best fg so far
+        # never clips the AO range.
+        cap = jnp.minimum(t_max, fg_t)
+        tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap)
+        a_t, f_t, f_row = trace_instance_pallas_ao_fg(
+            tables, o_obj, d_obj, tn, jnp.minimum(t_ao, cap), cap,
+            rounds=rounds, interpret=interpret,
+        )
+        a_closer = a_t < ao_t
+        ao_t = jnp.where(a_closer, a_t, ao_t)
+        ao_inst = jnp.where(a_closer, i, ao_inst)
+        f_closer = f_t < fg_t
+        fg_t = jnp.where(f_closer, f_t, fg_t)
+        fg_inst = jnp.where(f_closer, i, fg_inst)
+        fg_row = jnp.where(f_closer, f_row, fg_row)
+
+    neg1 = -jnp.ones(n, jnp.int32)
+    ao = TraceResult(t=ao_t, inst=ao_inst, row=neg1, bit=neg1)
+    fg = TraceResult(t=fg_t, inst=fg_inst, row=fg_row, bit=neg1)
+    return ao, fg
 
 
 def stack_tables(tables: list[PallasTables]):

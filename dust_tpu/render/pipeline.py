@@ -289,13 +289,19 @@ def render_frame(
     gi_dir = jnp.where(hit[:, None], gi_dir, jnp.asarray([0.0, 1.0, 0.0]))
 
     thr = settings.ambient_occlusion_threshold
+    dense = settings.gi_cache == "dense"
+    lmax = scene.mask_lo.shape[1]
+    # Note: a fused AO+FG kernel exists (pallas_trace.trace_scene_pallas_
+    # ao_fg, oracle-tested) but MEASURES SLOWER than the split passes
+    # (9.2 ms vs 3.1+3.8 on v5e): the union walk pays the per-round fixed
+    # costs (rank gathers, scalar syncs, fatter dispatch) over the
+    # combined round count, while the split kernels each run slimmer
+    # bodies and the passes share only the t=thr descent. Keeping split.
     ao = trace(scene, hit_loc, gi_dir, 0.1, jnp.where(hit, thr, -1.0),
                "ao_threshold")
     ao_hit = ao.hit
 
     # -------------------------------------------------- 3. final gather
-    dense = settings.gi_cache == "dense"
-    lmax = scene.mask_lo.shape[1]
     fg_active = hit & ~ao_hit
     fg = trace(scene, hit_loc, gi_dir, thr,
                jnp.where(fg_active, cam.far, -1.0), "rough")

@@ -150,3 +150,65 @@ def test_pallas_castle_multichunk():
     close = np.isclose(np.array(t_p)[both], np.array(t_x)[both], rtol=2e-3, atol=2e-3)
     assert close.mean() >= 0.995
     assert (np.array(row_x)[both][close] == np.array(row_p)[both][close]).mean() >= 0.99
+
+
+def test_fused_ao_fg_matches_split():
+    """The fused ao_fg kernel must reproduce the split AO(ao_threshold) +
+    FG(rough) pass pair exactly — same candidate blocks, same entry-report
+    quirk, same straddling-block rejection (pipeline GI chain fusion)."""
+    from dust_tpu.ops.pallas_trace import (trace_scene_pallas,
+                                           trace_scene_pallas_ao_fg)
+    from dust_tpu.render.scene import build_device_scene
+
+    dev = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
+    rng = np.random.default_rng(9)
+    # AO-style rays: start at real primary-hit surface points (exactly how
+    # the pipeline launches the GI chain), random hemisphere-ish dirs.
+    c2w = cam.look_at((122.0, 300.61, 54.45), (0.0, 0.0, 0.0))
+    cs = cam.camera_settings(c2w, 0.9, 0.1, 10000.0, 96, 54)
+    dirs0 = jnp.asarray(np.array(cam.camera_ray_dirs(cs, 96, 54)
+                                 ).reshape(-1, 3))
+    n = dirs0.shape[0]
+    o0 = jnp.broadcast_to(jnp.asarray(np.array(cs.position)), (n, 3))
+    from dust_tpu.ops.pallas_trace import trace_scene_pallas as _tsp
+    prim = _tsp(dev, o0, dirs0, 0.1, 10000.0, mode="precise",
+                interpret=True)
+    t0 = jnp.where(prim.hit, prim.t, 0.0)
+    o = o0 + dirs0 * t0[:, None] * 0.999  # just off the surface
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    active = prim.hit & jnp.asarray(rng.uniform(size=n) < 0.9)
+
+    thr, far = 8.0, 10000.0
+    t_ao = jnp.where(active, thr, -1.0)
+    t_fg = jnp.where(active, far, -1.0)
+
+    ao_s = trace_scene_pallas(dev, o, d, 0.1, t_ao, mode="ao_threshold",
+                              interpret=True)
+    fg_active = active & ~ao_s.hit
+    fg_s = trace_scene_pallas(dev, o, d, thr,
+                              jnp.where(fg_active, far, -1.0), mode="rough",
+                              interpret=True)
+
+    ao_f, fg_f = trace_scene_pallas_ao_fg(dev, o, d, 0.1, t_ao, t_fg,
+                                          interpret=True)
+
+    ao_hit_s, ao_hit_f = np.array(ao_s.hit), np.array(ao_f.hit)
+    assert (ao_hit_s == ao_hit_f).mean() >= 0.999, (
+        ao_hit_s.sum(), ao_hit_f.sum())
+    both = ao_hit_s & ao_hit_f
+    assert both.sum() > 100
+    assert np.isclose(np.array(ao_s.t)[both], np.array(ao_f.t)[both],
+                      rtol=1e-4, atol=1e-4).mean() >= 0.999
+
+    # FG comparison only where AO agreed to miss (the fused kernel never
+    # traces FG for its own AO hits, matching fg_active gating).
+    fga = np.array(fg_active)
+    fg_hit_s = np.array(fg_s.hit) & fga
+    fg_hit_f = np.array(fg_f.hit) & fga
+    assert (fg_hit_s == fg_hit_f).mean() >= 0.999
+    b = fg_hit_s & fg_hit_f
+    assert b.sum() > 100
+    assert np.isclose(np.array(fg_s.t)[b], np.array(fg_f.t)[b],
+                      rtol=1e-4, atol=1e-4).mean() >= 0.999
+    assert (np.array(fg_s.row)[b] == np.array(fg_f.row)[b]).mean() >= 0.999
+    assert (np.array(fg_s.inst)[b] == np.array(fg_f.inst)[b]).mean() >= 0.999
