@@ -891,11 +891,12 @@ def trace_scene_pallas_ao_fg(scene, origin, direction, t_min, t_ao, t_max,
     return ao, fg
 
 
-def stack_tables(tables: list[PallasTables]):
+def stack_tables(tables: list[PallasTables], min_chunks: int = 1):
     """Stack per-model tables into (M, ...) arrays padded to a common
-    mask-chunk count (for DeviceScene storage)."""
+    mask-chunk count (for DeviceScene storage). ``min_chunks`` reserves
+    headroom so incremental refits can splice a grown model in place."""
     m = len(tables)
-    cl = max(t.mask_chunks for t in tables) if tables else 1
+    cl = max([t.mask_chunks for t in tables] + [min_chunks]) if tables else 1
     l1 = np.stack([t.l1 for t in tables]) if m else np.zeros((0, 8, 128), np.int32)
     l2w0 = np.stack([t.l2_w0 for t in tables]) if m else np.zeros((0, 4, 8, 128), np.int32)
     l2w1 = np.stack([t.l2_w1 for t in tables]) if m else np.zeros((0, 4, 8, 128), np.int32)

@@ -8,17 +8,21 @@ The reference never implemented node clearing (``internal.rs:126`` is
 here too.
 
 The editor owns the host-side voxel state per model. A refit rebuilds the
-edited models' geometry and reassembles the device scene (every derived
-structure — cell grids, Pallas tables, packed attribute rows, material
-pools, AABBs — stays consistent by construction). Incremental per-model
-splicing is a planned optimisation.
+edited models' geometry host-side and then SPLICES just those models'
+rows into the device scene (:func:`dust_tpu.render.scene.splice_model`) —
+O(model) host work + upload, with every derived structure (cell grid,
+Pallas tables, packed attribute rows, material segment, AABB) refreshed
+in lockstep. When an edit outgrows the scene's padding (leaf rows, mask
+chunks, or the model's 25%-headroom material capacity) the refit falls
+back to a full consistent rebuild.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from dust_tpu.render.scene import DeviceScene, build_device_scene
+from dust_tpu.render.scene import (DeviceScene, build_device_scene,
+                                   material_layout, splice_model)
 from dust_tpu.vox.collector import collect_material_indices
 from dust_tpu.vox.geometry import build_geometry
 from dust_tpu.vox.loader import VoxScene
@@ -58,6 +62,12 @@ class SceneEditor:
                     self._voxels[mid][(x, y, z)] = int(mats[ptr + k])
                     k += 1
         self._dirty: set[int] = set()
+        # Material-pool layout pinned at build time (splices must keep
+        # other models' absolute pointers valid).
+        geos = [vox_scene.geometries[m] for m in self._model_ids]
+        self._mat_base, self._mat_cap = material_layout(geos)
+        # Diagnostics: how the last refit was applied ("splice"/"rebuild").
+        self.last_refit_mode: str | None = None
 
     def set_voxel(self, model_id: int, coords, palette_idx: int | None) -> None:
         """Set (palette index) or clear (None) one voxel."""
@@ -101,18 +111,39 @@ class SceneEditor:
                 geo_old.size, geo_old.unit_size,
             )
 
-        # Rebuild the device scene wholesale. An incremental splice must
-        # refresh every derived structure (cell grids, Pallas bitmap/rank/
-        # mask tables, packed leaf_attr rows, material pools, AABBs) in
-        # lockstep — a stale subset renders wrongly — so round 1 keeps the
-        # single consistent path; per-model incremental refit is a later
-        # optimisation.
+        # Incremental path: splice each dirty model's rows in place.
+        # splice_model refreshes every derived structure for that model
+        # (cell grid, Pallas bitmap/rank/mask tables, packed leaf_attr
+        # rows, material segment, AABB) in lockstep; any model that no
+        # longer fits the scene's padding forces a full rebuild.
+        device = self.device
+        for mid in sorted(self._dirty):
+            slot = self._model_ids.index(mid)
+            spliced = splice_model(
+                device, slot, self.vox_scene.geometries[mid],
+                self._mat_base[slot], self._mat_cap[slot],
+            )
+            if spliced is None:
+                device = None
+                break
+            device = spliced
+
+        if device is not None:
+            self.last_refit_mode = "splice"
+            self.device = device
+            self._dirty.clear()
+            return self.device
+
+        self.last_refit_mode = "rebuild"
         new = build_device_scene(self.vox_scene)
         new = new._replace(
             obj_to_world=self.device.obj_to_world,
             world_to_obj=self.device.world_to_obj,
             prev_obj_to_world=self.device.prev_obj_to_world,
         )
+        # Re-pin the material layout to the rebuilt pool.
+        geos = [self.vox_scene.geometries[m] for m in self._model_ids]
+        self._mat_base, self._mat_cap = material_layout(geos)
         self.device = new
         self._dirty.clear()
         return self.device

@@ -139,6 +139,25 @@ def _invert_affines(a34: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([inv, it[..., :, None]], axis=-1)
 
 
+def material_layout(geos) -> tuple[list[int], list[int]]:
+    """Per-model (base, capacity) segments of the shared material pool.
+
+    Capacities are 256-aligned with ~25% headroom so an edited model's
+    compacted material list can grow in place — the incremental refit
+    (:mod:`dust_tpu.render.edits`) splices one model's rows without
+    relocating any other model's pointers (≙ the reference's BLAS refit
+    keeping SBT records stable, ``accel_struct/blas.rs:125``)."""
+    bases, caps = [], []
+    base = 0
+    for g in geos:
+        n = len(g.materials)
+        cap = max(256, -(-(n + n // 4) // 256) * 256)
+        bases.append(base)
+        caps.append(cap)
+        base += cap
+    return bases, caps
+
+
 def build_device_scene(scene: VoxScene) -> DeviceScene:
     """Assemble a :class:`DeviceScene` from a loaded ``.vox`` scene."""
     from dust_tpu.ops.pallas_trace import build_pallas_tables, stack_tables
@@ -148,6 +167,11 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
     id_to_slot = {m: i for i, m in enumerate(model_ids)}
 
     lmax = max(max((g.num_blocks for g in geos), default=1), 1)
+    # ~25% leaf-row headroom (64-aligned) so edits can grow a model in
+    # place — without it any new leaf in the largest model forces the
+    # refit's full-rebuild fallback (see material_layout for the same
+    # policy on the material pool).
+    lmax = -(-(lmax + lmax // 4) // 64) * 64
     M = len(geos)
 
     cell = np.full((M, 64, 64, 64), -MAX_SKIP, dtype=np.int32)
@@ -157,22 +181,27 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
     matptr = np.zeros((M, lmax), dtype=np.int32)
     albedo = np.zeros((M, lmax), dtype=np.uint32)
 
+    bases, caps = material_layout(geos)
     materials = []
-    base = 0
     for i, g in enumerate(geos):
         L = g.num_blocks
         cell[i] = cell_info_grid(g.flat.leaf_grid)
         mask_lo[i, :L] = g.flat.mask_lo
         mask_hi[i, :L] = g.flat.mask_hi
         origin[i, :L] = g.flat.leaf_origin
-        matptr[i, :L] = g.flat.material_ptr.astype(np.int64) + base
+        matptr[i, :L] = g.flat.material_ptr.astype(np.int64) + bases[i]
         albedo[i, :L] = g.avg_albedo
-        materials.append(g.materials.astype(np.int32))
-        base += len(g.materials)
+        seg = np.zeros(caps[i], dtype=np.int32)
+        seg[: len(g.materials)] = g.materials.astype(np.int32)
+        materials.append(seg)
     materials = (
-        np.concatenate(materials) if materials else np.zeros(1, dtype=np.int32)
+        np.concatenate(materials) if materials else np.zeros(4, dtype=np.int32)
     )
 
+    # NOTE: mask chunks deliberately get NO headroom — every in-kernel
+    # chunked gather walks all chunks unconditionally, so padding them
+    # would tax every trace. A model growing past a 1024-leaf chunk
+    # boundary takes the refit's full-rebuild fallback instead (rare).
     tables = stack_tables([build_pallas_tables(g.flat) for g in geos])
 
     ab_min = np.zeros((M, 3), dtype=np.float32)
@@ -238,3 +267,112 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         world_to_obj=_invert_affines(o2w_j) if len(inst_model) else jnp.zeros((0, 3, 4)),
         prev_obj_to_world=o2w_j,
     )
+
+
+def splice_model(device: DeviceScene, slot: int, geo,
+                 mat_base: int, mat_cap: int) -> DeviceScene | None:
+    """Incremental refit: replace ONE model's rows in every per-model pool
+    on device, leaving all other models' data untouched (≙ BLAS refit,
+    ``accel_struct/blas.rs:125`` + ``VoxGeometry::set``,
+    ``vox/src/geometry.rs:180-186``).
+
+    Host work and upload are O(model); the device-side ``.at[].set``
+    splices are dynamic-update-slices (no re-upload of other models).
+    Returns None when the rebuilt model no longer fits the scene's
+    padding (leaf rows, mask chunks, or material capacity) — the caller
+    then falls back to a full :func:`build_device_scene`.
+    """
+    from dust_tpu.ops.pallas_trace import build_pallas_tables
+
+    lmax = device.mask_lo.shape[1]
+    CL = device.pl_mlo.shape[1]
+    L = geo.num_blocks
+    n_mats = len(geo.materials)
+    if L > lmax or n_mats > mat_cap:
+        return None
+    tables = build_pallas_tables(geo.flat)
+    if tables.mask_chunks > CL:
+        return None
+
+    cell = cell_info_grid(geo.flat.leaf_grid)
+    ml = np.zeros(lmax, dtype=np.uint32)
+    mh = np.zeros(lmax, dtype=np.uint32)
+    org = np.zeros((lmax, 3), dtype=np.int32)
+    mp = np.zeros(lmax, dtype=np.int32)
+    alb = np.zeros(lmax, dtype=np.uint32)
+    ml[:L] = geo.flat.mask_lo
+    mh[:L] = geo.flat.mask_hi
+    org[:L] = geo.flat.leaf_origin
+    mp[:L] = geo.flat.material_ptr.astype(np.int64) + mat_base
+    alb[:L] = geo.avg_albedo
+
+    seg = np.zeros(mat_cap, dtype=np.int32)
+    seg[:n_mats] = geo.materials.astype(np.int32)
+    palette_u8 = np.asarray(np.round(np.array(device.palette) * 255.0),
+                            np.uint32)
+    rgba8 = palette_u8[seg]
+    seg_rgba = (rgba8[:, 0] | (rgba8[:, 1] << 8) | (rgba8[:, 2] << 16)
+                | (seg.astype(np.uint32) << 24)).view(np.int32)
+
+    o = org.astype(np.uint32)
+    packed_origin = (o[:, 0] | (o[:, 1] << 8) | (o[:, 2] << 16)).view(np.int32)
+    la = np.zeros((lmax, 4), dtype=np.int32)
+    la[:, 0] = packed_origin
+    la[:, 1] = ml.view(np.int32)
+    la[:, 2] = mh.view(np.int32)
+    la[:, 3] = mp
+    lafg = np.zeros((lmax, 2), dtype=np.int32)
+    lafg[:, 0] = packed_origin
+    lafg[:, 1] = alb.view(np.int32)
+
+    if L:
+        abmin = geo.flat.leaf_origin.min(axis=0).astype(np.float32)
+        abmax = (geo.flat.leaf_origin.max(axis=0) + 4.0).astype(np.float32)
+    else:
+        abmin = np.zeros(3, np.float32)
+        abmax = np.full(3, 256.0, np.float32)
+
+    mlo_pad = np.zeros((CL, 8, 128), np.int32)
+    mhi_pad = np.zeros((CL, 8, 128), np.int32)
+    mlo_pad[: tables.mask_chunks] = tables.mask_lo
+    mhi_pad[: tables.mask_chunks] = tables.mask_hi
+
+    updates = dict(
+        cell_info=cell, mask_lo=ml, mask_hi=mh, leaf_origin=org,
+        material_ptr=mp, avg_albedo=alb, materials=seg,
+        material_rgba=seg_rgba.reshape(-1, 4),
+        model_aabb_min=abmin, model_aabb_max=abmax,
+        leaf_attr=la, leaf_attr_fg=lafg,
+        pl_l1=tables.l1, pl_l2w0=tables.l2_w0, pl_l2w1=tables.l2_w1,
+        pl_l2r0=tables.l2_r0, pl_l2r1=tables.l2_r1,
+        pl_mlo=mlo_pad, pl_mhi=mhi_pad,
+    )
+    # One jit-compiled dispatch for all 19 row updates (19 separate
+    # .at[].set calls each pay their own compile + tunnel dispatch).
+    return _apply_splice(device, updates, slot, mat_base, mat_cap,
+                         device.mask_lo.shape[1])
+
+
+from functools import partial as _partial
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("slot", "mat_base", "mat_cap", "lmax"))
+def _apply_splice(device, updates, slot, mat_base, mat_cap, lmax):
+    r0, r1 = slot * lmax, (slot + 1) * lmax
+    u = {k: jnp.asarray(v) for k, v in updates.items()}
+    repl = {}
+    for name in ("cell_info", "mask_lo", "mask_hi", "leaf_origin",
+                 "material_ptr", "avg_albedo", "model_aabb_min",
+                 "model_aabb_max", "pl_l1", "pl_l2w0", "pl_l2w1",
+                 "pl_l2r0", "pl_l2r1", "pl_mlo", "pl_mhi"):
+        repl[name] = getattr(device, name).at[slot].set(
+            u[name].astype(getattr(device, name).dtype))
+    repl["materials"] = device.materials.at[
+        mat_base:mat_base + mat_cap].set(u["materials"])
+    repl["material_rgba"] = device.material_rgba.at[
+        mat_base // 4:(mat_base + mat_cap) // 4].set(u["material_rgba"])
+    repl["leaf_attr"] = device.leaf_attr.at[r0:r1].set(u["leaf_attr"])
+    repl["leaf_attr_fg"] = device.leaf_attr_fg.at[r0:r1].set(
+        u["leaf_attr_fg"])
+    return device._replace(**repl)

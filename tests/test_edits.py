@@ -50,11 +50,51 @@ class TestSceneEditor:
         vox = load_vox_scene(procgen.teapot_scene_bytes())
         dev = build_device_scene(vox)
         ed = SceneEditor(vox, dev)
-        n_before = len(np.array(dev.materials))
+        n_before = len(vox.geometries[0].materials)
         ed.set_voxel(0, (0, 0, 0), palette_idx=7)
         dev2 = ed.refit()
-        n_after = len(np.array(dev2.materials))
-        assert n_after == n_before + 1
+        # The model's compacted material list grew by one (the device
+        # pool length is capacity-padded and stays fixed under splices).
+        assert len(vox.geometries[0].materials) == n_before + 1
+        assert len(np.array(dev2.materials)) == len(np.array(dev.materials))
+
+    def test_small_edit_splices_not_rebuilds(self):
+        """A one-voxel edit must go through the O(model) splice path and
+        produce a device scene identical to a from-scratch build."""
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        ed.set_voxel(0, (1, 1, 1), palette_idx=5)
+        dev2 = ed.refit()
+        assert ed.last_refit_mode == "splice"
+
+        fresh = build_device_scene(vox)
+        for name in dev2._fields:
+            a, b = getattr(dev2, name), getattr(fresh, name)
+            if name == "inst_model":
+                assert a == b
+                continue
+            if name in ("obj_to_world", "world_to_obj", "prev_obj_to_world"):
+                continue  # refit preserves live transforms by design
+            np.testing.assert_array_equal(
+                np.array(a), np.array(b), err_msg=f"field {name} diverged")
+
+    def test_large_growth_falls_back_to_rebuild(self):
+        """An edit that outgrows the scene's leaf-row padding must force
+        the full-rebuild path (and still render consistently)."""
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        size = vox.geometries[0].size
+        # Fill a large slab: far more leaves than the original lmax.
+        xs, ys, zs = np.meshgrid(np.arange(0, size[0], 2), np.arange(4),
+                                 np.arange(0, size[2], 2), indexing="ij")
+        slab = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], 1)
+        ed.set_voxels(0, slab, palette_idx=4)
+        dev2 = ed.refit()
+        assert ed.last_refit_mode == "rebuild"
+        r = _ray_down_at(dev2, 0.0, 0.0)
+        assert bool(r.hit[0])
 
     def test_noop_refit_is_identity(self):
         vox = load_vox_scene(procgen.teapot_scene_bytes())
