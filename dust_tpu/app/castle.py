@@ -40,6 +40,10 @@ def main(argv=None):
                     "scatter-free; hash = reference-style spatial hash)")
     ap.add_argument("--backend", choices=["jnp", "pallas"], default="jnp",
                     help="traversal kernel (pallas = the Mosaic fast path)")
+    ap.add_argument("--frames-in-flight", type=int, default=3,
+                    help="frame pacing: bound on dispatched-but-unsynced "
+                    "frames (≙ rhyolite_bevy's 3-frames-in-flight, "
+                    "queue.rs:222; 0 = unbounded host run-ahead)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -58,6 +62,7 @@ def main(argv=None):
     from dust_tpu.render.scene import build_device_scene
     from dust_tpu.utils import crashlog
     from dust_tpu.utils.image import write_png
+    from dust_tpu.utils import profiling
     from dust_tpu.utils.profiling import FrameDiagnostics
     from dust_tpu.vox import procgen
     from dust_tpu.vox.loader import load_vox_scene, VoxInstance
@@ -103,6 +108,20 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     diag = FrameDiagnostics(report_every=max(args.frames // 2, 2))
 
+    # Frame pacing (≙ use_per_frame_state_blocking, rhyolite's 3 frames in
+    # flight): dispatch runs ahead of the device, but block on the frame
+    # K-back so host memory and queue depth stay bounded. Sync is a
+    # scalar fetch — block_until_ready is a no-op through the tunnel.
+    from collections import deque
+    inflight: deque = deque()
+
+    def pace(out):
+        if args.frames_in_flight <= 0:
+            return
+        inflight.append(out)
+        if len(inflight) > args.frames_in_flight:
+            profiling.device_sync(inflight.popleft())
+
     t_start = time.time()
     for f in range(args.frames):
         if args.orbit:
@@ -134,6 +153,7 @@ def main(argv=None):
             settings, tile=args.tile, return_aux=False,
         )
         diag.frame()
+        pace(out)
         if args.all_frames:
             path = args.out.replace(".png", f"_{f:03d}.png")
             write_png(path, np.array(out))

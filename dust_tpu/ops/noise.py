@@ -6,13 +6,18 @@ unitvec3 / unitvec3-cosine), indexed per frame by layer and fetched with
 a per-frame random pixel offset (``push_constants.rand``, e.g.
 ``ambient_occlusion.rgen:27``).
 
-The STBN PNGs are git-LFS stubs in the snapshot, so the variants are
-derived at load time from a vendored 128² void-and-cluster rank texture
-(``assets/bluenoise128.npy``): temporal layers apply golden-ratio
-Cranley-Patterson rotations (a standard STBN approximation — each layer
-stays blue spatially, successive layers decorrelate), and independent
-channels use coprime rank permutations of the same texture.
-"""
+The STBN PNGs are git-LFS stubs in the snapshot, so the tables are
+regenerated: a true spatio-temporal blue-noise volume
+(``assets/stbn128x64.npy``, built by ``tools/gen_bluenoise.py stbn`` via
+stratified void-filling with a separable spatial/temporal gaussian
+energy) provides per-slice-stratified u values that are spatially blue
+in every layer AND per-pixel decorrelated across layers (the
+frame-difference field is itself noise — the property golden-ratio
+rotation lacks). Independent channels use toroidal rolls of the volume
+in space and time, which preserve both properties while decorrelating
+the channels. If the volume file is absent the loader falls back to
+golden-ratio Cranley-Patterson rotations of the 2-D rank texture
+(``assets/bluenoise128.npy``)."""
 
 from __future__ import annotations
 
@@ -65,19 +70,45 @@ def _layers(u: np.ndarray, step: float) -> np.ndarray:
     return ((u[None] + shifts) % 1.0).astype(np.float32)
 
 
+def _stbn_channels():
+    """(3, LAYERS, SIZE, SIZE) from the true STBN volume, or None.
+
+    Channels are toroidal rolls (space AND time) of one volume: each roll
+    is itself a valid STBN volume and large coprime offsets decorrelate
+    the channels (same trick the 2-D fallback uses)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "stbn128x64.npy")
+    if not os.path.exists(path):
+        return None
+    rank = np.load(path)
+    if rank.shape != (LAYERS, SIZE, SIZE):
+        return None
+    u = (rank.astype(np.float64) + 0.5) / (SIZE * SIZE)  # per-slice strat.
+    return [
+        u.astype(np.float32),
+        np.roll(u, (17, 37, 73), axis=(0, 1, 2)).astype(np.float32),
+        np.roll(u, (43, 91, 23), axis=(0, 1, 2)).swapaxes(1, 2)
+        .astype(np.float32),
+    ]
+
+
 @lru_cache(maxsize=1)
 def load_blue_noise() -> BlueNoise:
-    base = _rank_unit()
-    # Independent channels: toroidal shifts by large coprime offsets keep
-    # each channel individually blue while decorrelating them.
-    chan = [
-        base,
-        np.roll(base, (37, 73), axis=(0, 1)),
-        np.roll(base, (91, 23), axis=(0, 1)).T,
-    ]
-    u0 = _layers(chan[0], _PHI1)
-    u1 = _layers(chan[1], _PHI2[0])
-    u2 = _layers(chan[2], _PHI2[1])
+    stbn = _stbn_channels()
+    if stbn is not None:
+        u0, u1, u2 = stbn
+    else:
+        base = _rank_unit()
+        # Independent channels: toroidal shifts by large coprime offsets
+        # keep each channel individually blue while decorrelating them.
+        chan = [
+            base,
+            np.roll(base, (37, 73), axis=(0, 1)),
+            np.roll(base, (91, 23), axis=(0, 1)).T,
+        ]
+        u0 = _layers(chan[0], _PHI1)
+        u1 = _layers(chan[1], _PHI2[0])
+        u2 = _layers(chan[2], _PHI2[1])
 
     scalar = u0[..., None]
     vec2 = np.stack([u0, u1], axis=-1)

@@ -126,6 +126,34 @@ class TestNoise:
         d = np.abs(np.diff(s, axis=0)).mean()
         assert d > 0.36, d
 
+    def test_temporal_blueness(self):
+        """True STBN: per-pixel value sequences across layers decorrelate
+        (mean |layer diff| above the white-noise 1/3), every layer is a
+        stratified uniform set, and the frame-difference FIELD is itself
+        noise — golden-ratio rotation fails the last check (its frame
+        diff is a constant)."""
+        bn = load_blue_noise()
+        u = np.array(bn.scalar[..., 0])  # (LAYERS, SIZE, SIZE)
+        td = np.abs(np.diff(u, axis=0)).mean()
+        assert td > 0.34, td  # white noise: 1/3
+        # Per-slice stratification: each layer covers [0,1) uniformly.
+        for t in (0, LAYERS // 2):
+            h, _ = np.histogram(u[t], bins=16, range=(0.0, 1.0))
+            assert h.min() > 0.8 * (SIZE * SIZE / 16), h
+        # Frame-to-frame difference varies per pixel (decorrelated
+        # layers): a value-rotated sequence has ~zero spread here.
+        fd = u[1] - u[0]
+        assert fd.std() > 0.1, fd.std()
+
+    def test_layers_stay_spatially_blue(self):
+        """Every temporal layer must individually keep a blue spatial
+        spectrum (neighbour |diff| above white noise), not just layer 0."""
+        bn = load_blue_noise()
+        u = np.array(bn.scalar[..., 0])
+        for t in range(0, LAYERS, 13):
+            d = np.abs(np.diff(u[t], axis=0)).mean()
+            assert d > 0.36, (t, d)
+
     def test_cosine_variant_is_hemisphere(self):
         bn = load_blue_noise()
         v = np.array(bn.unitvec3_cosine[0].reshape(-1, 3)) * 2.0 - 1.0

@@ -69,5 +69,55 @@ def main(out_path="dust_tpu/assets/bluenoise128.npy"):
     print(f"wrote {out_path}; rank uniques={len(np.unique(rank))}")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Spatio-temporal blue noise (reference: assets/stbn/*.png, 128x128x64;
+# crates/render/src/noise.rs). Greedy stratified void-filling over a
+# toroidal (T, N, N) volume with a separable gaussian energy — spatial
+# sigma 1.9 within each slice, temporal sigma 1.1 across slices — so each
+# frame-slice is an exact stratified uniform set that is spatially blue,
+# while per-pixel value sequences decorrelate frame-to-frame (the
+# property the reference's true STBN textures provide and golden-ratio
+# rotation does not: the frame-difference field is itself noise, not a
+# constant).
+# ---------------------------------------------------------------------------
+
+def gen_stbn(T=64, N=128, sigma_s=1.9, sigma_t=1.1, seed=0x57B1,
+             out_path="dust_tpu/assets/stbn128x64.npy"):
+    """Per-slice ranks 0..N*N-1 as (T, N, N) uint16."""
+    import time
+    rng = np.random.default_rng(seed)
+    Rs = max(3, int(np.ceil(4.0 * sigma_s)))
+    Rt = min(max(2, int(np.ceil(4.0 * sigma_t))), T // 2)
+    ds = np.arange(-Rs, Rs + 1)
+    dt = np.arange(-Rt, Rt + 1)
+    ks = np.exp(-(ds ** 2) / (2 * sigma_s ** 2))
+    kt = np.exp(-(dt ** 2) / (2 * sigma_t ** 2))
+    K = kt[:, None, None] * ks[None, :, None] * ks[None, None, :]
+    E = rng.random((T, N, N)) * 1e-6  # tie-break jitter
+    occ = np.zeros((T, N, N), bool)
+    rank = np.zeros((T, N, N), np.int32)
+    t0 = time.time()
+    order = np.arange(T)
+    for r in range(N * N):
+        rng.shuffle(order)  # vary slice visit order: no fixed t precedence
+        for t in order:
+            sl = np.where(occ[t], np.inf, E[t])
+            i = int(np.argmin(sl))
+            y, x = divmod(i, N)
+            occ[t, y, x] = True
+            rank[t, y, x] = r
+            E[np.ix_((t + dt) % T, (y + ds) % N, (x + ds) % N)] += K
+        if r % 2048 == 0:
+            print(f"  rank {r}/{N*N}  ({time.time()-t0:.0f}s)", flush=True)
+    np.save(out_path, rank.astype(np.uint16))
+    print(f"wrote {out_path} in {time.time()-t0:.0f}s")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "stbn" in sys.argv:
+        gen_stbn()
+    else:
+        main()
