@@ -264,7 +264,7 @@ def _slab3(ox, oy, oz, rx, ry, rz, mnx, mny, mnz, mxx, mxy, mxz):
 
 
 def _make_kernel(mask_chunks: int, mode: str, rounds: int,
-                 march_cap: int, micro_cap: int):
+                 march_cap: int, micro_cap: int, want_resume: bool = False):
     """Build the kernel body (static configuration baked in).
 
     ``mode="ao_fg"`` fuses the AO and final-gather passes into ONE
@@ -282,6 +282,9 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
          smin_ref) = refs[:14]
         if fused:
             sao_ref, smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
+        elif want_resume:
+            (smax_ref, hit_ref, row_ref, bit_ref,
+             sres_ref, act_ref) = refs[14:]
         else:
             smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
         shape = ox_ref.shape
@@ -313,20 +316,22 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
 
         def march(active, s):
             """Walk L1/L2 until every active ray freezes on an occupied
-            block or dies. Returns candidate info. Loop-carried masks are
-            int32 0/1 — Mosaic cannot yield i1 vectors from scf loops.
+            block or dies. Loop-carried masks are int32 0/1 — Mosaic
+            cannot yield i1 vectors from scf loops.
 
             The two L2 words of the L1 cell a ray is inside are carried in
             registers (cell-grouped word layout); the expensive chunked
             gather runs only on iterations where some ray enters a new
-            occupied cell."""
+            occupied cell.
+
+            Returns (active, s, cand, w0, w1): candidate block/word
+            details are NOT carried through the loop — a frozen ray's s
+            stays at its freeze sample, so :func:`cand_info` recomputes
+            them once post-march (bit-identical expressions). That keeps
+            the loop at 7 carried (R,128) arrays instead of 13 (the
+            vector register file spills past ~13) and drops 7 masked
+            selects per iteration."""
             cand = jnp.zeros(shape, jnp.bool_)
-            cword = jnp.zeros(shape, jnp.int32)   # word holding the cand bit
-            cwidx = jnp.zeros(shape, jnp.int32)   # its index in the table
-            cbit = jnp.zeros(shape, jnp.int32)    # bit within word
-            cbx = jnp.zeros(shape, jnp.int32)
-            cby = jnp.zeros(shape, jnp.int32)
-            cbz = jnp.zeros(shape, jnp.int32)
             w0 = jnp.zeros(shape, jnp.int32)
             w1 = jnp.zeros(shape, jnp.int32)
             reg_cl = jnp.full(shape, -1, jnp.int32)
@@ -336,8 +341,7 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 return jnp.any((active_i != 0) & (cand_i == 0)) & (i < march_cap)
 
             def body(st):
-                (active_i, s, cand_i, cword, cwidx, cbit, cbx, cby, cbz,
-                 w0, w1, reg_cl, i) = st
+                (active_i, s, cand_i, w0, w1, reg_cl, i) = st
                 active = active_i != 0
                 cand = cand_i != 0
                 stepping = active & ~cand
@@ -350,10 +354,10 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 c1x = jnp.clip(jnp.floor(px * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
                 c1y = jnp.clip(jnp.floor(py * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
                 c1z = jnp.clip(jnp.floor(pz * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
-                inb = (
-                    (px >= 0.0) & (px < 256.0) & (py >= 0.0) & (py < 256.0)
-                    & (pz >= 0.0) & (pz < 256.0)
-                )
+                # In-box test: s_end <= g1 (the 256-box exit), so a sample
+                # at se < s_end is inside up to the eps sliver the clips
+                # absorb — one compare replaces the six-plane test.
+                inb = se < s_end
                 cl = (c1x * 16 + c1y) * 16 + c1z
                 dist = _gather_l1_dist(l1t, cl)
                 occ1 = (dist == 0) & inb & stepping
@@ -382,15 +386,10 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 word = jnp.where(local < 32, w0, w1)
                 occ2 = (_bit_test_i32(word, local & 31) != 0) & occ1
 
-                # Freeze candidates.
+                # Freeze candidates: s stays at the freeze sample, so all
+                # block/word details are recoverable post-march.
                 newly = occ2 & ~cand
                 cand = cand | newly
-                cword = jnp.where(newly, word, cword)
-                cwidx = jnp.where(newly, cl * 2 + (local >> 5), cwidx)  # (cl, half)
-                cbit = jnp.where(newly, local & 31, cbit)
-                cbx = jnp.where(newly, bx, cbx)
-                cby = jnp.where(newly, by, cby)
-                cbz = jnp.where(newly, bz, cbz)
 
                 # Advance: occupied cell -> one block; empty cell with
                 # chebyshev distance d -> exit the whole (2d-1)³ empty box.
@@ -417,25 +416,44 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 s_next = jnp.maximum(s_exit, s + _STEP_EPS)
                 advance = stepping & ~newly
                 s = jnp.where(advance, s_next, s)
-                active = active & ~(stepping & (~inb | (s >= s_end)) & ~newly)
+                active = active & ~(stepping & (s >= s_end) & ~newly)
                 return (active.astype(jnp.int32), s, cand.astype(jnp.int32),
-                        cword, cwidx, cbit, cbx, cby, cbz,
                         w0, w1, reg_cl, i + jnp.int32(1))
 
             st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
-                  cword, cwidx, cbit, cbx, cby, cbz, w0, w1, reg_cl,
-                  jnp.int32(0))
+                  w0, w1, reg_cl, jnp.int32(0))
             # 2x unroll: the while cond is a vector->scalar sync (~120
             # cycles); frozen/dead rays are masked no-ops so running one
             # extra step is harmless.
             st = jax.lax.while_loop(cond, lambda st: body(body(st)), st)
-            return (st[0] != 0, st[1], st[2] != 0) + st[3:9]
+            return st[0] != 0, st[1], st[2] != 0, st[3], st[4]
+
+        def cand_info(s, w0, w1):
+            """Candidate block/word details for frozen rays, recomputed
+            from the freeze sample (the exact expressions march used, so
+            the values are bit-identical to the old loop-carried ones)."""
+            se = s + _STEP_EPS
+            px = ox + dx * se
+            py = oy + dy * se
+            pz = oz + dz * se
+            c1x = jnp.clip(jnp.floor(px * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
+            c1y = jnp.clip(jnp.floor(py * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
+            c1z = jnp.clip(jnp.floor(pz * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
+            cl = (c1x * 16 + c1y) * 16 + c1z
+            bx = jnp.clip(jnp.floor(px * 0.25).astype(jnp.int32), 0, 63)
+            by = jnp.clip(jnp.floor(py * 0.25).astype(jnp.int32), 0, 63)
+            bz = jnp.clip(jnp.floor(pz * 0.25).astype(jnp.int32), 0, 63)
+            local = ((bx & 3) << 4) | ((by & 3) << 2) | (bz & 3)
+            word = jnp.where(local < 32, w0, w1)
+            cwidx = cl * 2 + (local >> 5)
+            cbit = local & 31
+            return word, cwidx, cbit, bx, by, bz
 
         def round_body(rstate):
             active_i, s, hit_s, hit_row, hit_bit, rnd = rstate
             active = active_i != 0
-            (active, s, cand, cword, cwidx, cbit,
-             cbx, cby, cbz) = march(active, s)
+            active, s, cand, w0, w1 = march(active, s)
+            cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
             # Leaf row from the rank tables + in-word popcount.
             ccl = jnp.where(cand, cwidx >> 1, 0)
@@ -560,8 +578,8 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                blocks the same way), else skip past."""
             active_i, s, ao_t, fg_t, fg_row, rnd = rstate
             active = active_i != 0
-            (active, s, cand, cword, cwidx, cbit,
-             cbx, cby, cbz) = march(active, s)
+            active, s, cand, w0, w1 = march(active, s)
+            cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
             ccl = jnp.where(cand, cwidx >> 1, 0)
             half = cwidx & 1
@@ -700,39 +718,55 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
         hit_ref[:] = hit_s
         row_ref[:] = hit_row
         bit_ref[:] = hit_bit
+        if want_resume:
+            # Straggler hand-off (two-phase tracing): rays still active
+            # when the round budget ran out resume a later pass from
+            # their current march position.
+            sres_ref[:] = rstate[1]
+            act_ref[:] = rstate[0]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("mask_chunks", "mode", "rounds", "interpret"))
+@partial(jax.jit, static_argnames=("mask_chunks", "mode", "rounds",
+                                   "march_cap", "resume", "interpret"))
 def _trace_pallas(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
                   ox, oy, oz, dx, dy, dz,
-                  smin, smax, mask_chunks, mode, rounds, interpret=False):
+                  smin, smax, mask_chunks, mode, rounds,
+                  march_cap=160, resume=False, interpret=False):
     n_rows = ox.shape[0]
     grid = n_rows // ROWS
     kernel = _make_kernel(mask_chunks, mode, rounds,
-                          march_cap=160, micro_cap=12)
+                          march_cap=march_cap, micro_cap=12,
+                          want_resume=resume)
 
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
+    n_out = 5 if resume else 3
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+    ]
+    if resume:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # s resume
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # active
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[tab_spec] * 7 + [ray_spec] * 8,
-        out_specs=[ray_spec] * 3,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-        ],
+        out_specs=[ray_spec] * n_out,
+        out_shape=out_shapes,
         interpret=interpret,
     )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, ox, oy, oz, dx, dy, dz, smin, smax)
     return out
 
 
 def trace_instance_pallas(tables, origin, direction, t_min, t_max,
-                          mode: str = "precise", rounds: int = 16,
+                          mode: str = "precise", rounds: int = 64,
                           interpret: bool = False):
     """Trace rays against one model with the Pallas kernel.
 
@@ -769,6 +803,131 @@ def trace_instance_pallas(tables, origin, direction, t_min, t_max,
     return hit_s / dlen, row.reshape(-1)[:n], bit.reshape(-1)[:n]
 
 
+def trace_instance_pallas_2p(tables, origin, direction, t_min, t_max,
+                             mode: str = "precise", rounds: int = 64,
+                             interpret: bool = False,
+                             phase1_rounds: int = 3,
+                             phase1_march: int = 48,
+                             k_div: int = 8):
+    """Two-phase straggler-decoupled trace (same contract as
+    :func:`trace_instance_pallas`, bit-identical results).
+
+    The kernel's grid is serial on the one TensorCore and every program
+    runs to its slowest ray, so the per-tile lockstep max (3-5x the
+    per-ray mean on the castle camera) is pure waste. Phase 1 runs a
+    small round/march budget; the <1% of rays still active are packed
+    into an ``n/k_div``-ray pass that resumes from their current march
+    position. Packing is scatter-free (TPU scatters run ~10M rows/s):
+    rays fold onto ``K = n/k_div`` slots by residue, a first-true argmax
+    picks each slot's winner, select chains compact and re-expand, and a
+    cond-gated full-width safety pass catches residue collisions (rare:
+    expected collisions ~ m²/2K ≈ hundreds for m=16k stragglers).
+    """
+    n = origin.shape[0]
+    dlen = jnp.maximum(jnp.linalg.norm(direction, axis=-1), 1e-20)
+    dn = direction / dlen[:, None]
+
+    block = ROWS * LANES
+    pad = (-n) % block
+
+    def prep(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
+        return x.reshape(-1, LANES)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    ox, oy, oz = (prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]))
+    dx, dy, dz = (prep(dn[:, 0], 1.0), prep(dn[:, 1], 1.0),
+                  prep(dn[:, 2], 1.0))
+    smin = prep(t_min * dlen)
+    smax = prep(t_max * dlen, -1.0)
+
+    hit_s, row, bit, sres, act = _trace_pallas(
+        tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0, tables.l2_r1,
+        tables.mask_lo, tables.mask_hi,
+        ox, oy, oz, dx, dy, dz, smin, smax,
+        mask_chunks=tables.mask_chunks, mode=mode, rounds=phase1_rounds,
+        march_cap=phase1_march, resume=True, interpret=interpret,
+    )
+
+    np_ = hit_s.size  # padded ray count (multiple of block)
+    K = max(block, (np_ // k_div) // block * block)
+    R = -(-np_ // K)
+    pad2 = R * K - np_
+
+    def fold(x, fill):
+        f = x.reshape(-1)
+        if pad2:
+            f = jnp.concatenate([f, jnp.full((pad2,), fill, f.dtype)])
+        return f.reshape(R, K)
+
+    mask = fold(act, 0) != 0
+    winner = jnp.argmax(mask, axis=0)          # first unresolved row/slot
+    got = jnp.any(mask, axis=0)
+
+    def pick(x2d):
+        p = x2d[0]
+        for r in range(1, R):
+            p = jnp.where(winner == r, x2d[r], p)
+        return p
+
+    cox, coy, coz = fold(ox, 0.0), fold(oy, 0.0), fold(oz, 0.0)
+    cdx, cdy, cdz = fold(dx, 1.0), fold(dy, 1.0), fold(dz, 1.0)
+    csres, csmax = fold(sres, 0.0), fold(smax, -1.0)
+    args2 = [pick(a).reshape(-1, LANES)
+             for a in (cox, coy, coz, cdx, cdy, cdz, csres)]
+    smax2 = jnp.where(got, pick(csmax), -1.0).reshape(-1, LANES)
+
+    t2, row2, bit2 = _trace_pallas(
+        tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0, tables.l2_r1,
+        tables.mask_lo, tables.mask_hi,
+        *args2, smax2,
+        mask_chunks=tables.mask_chunks, mode=mode, rounds=rounds,
+        interpret=interpret,
+    )
+
+    # Merge phase-2 slots back (elementwise: slot j belongs to folded row
+    # winner_j — no scatter).
+    hs, rw, bt = fold(hit_s, jnp.inf), fold(row, -1), fold(bit, -1)
+    t2f, row2f, bit2f = t2.reshape(-1), row2.reshape(-1), bit2.reshape(-1)
+    rows_out, rrows, brows = [], [], []
+    for r in range(R):
+        sel = (winner == r) & got
+        rows_out.append(jnp.where(sel, t2f, hs[r]))
+        rrows.append(jnp.where(sel, row2f, rw[r]))
+        brows.append(jnp.where(sel, bit2f, bt[r]))
+    hit_s = jnp.stack(rows_out).reshape(-1)[:np_].reshape(-1, LANES)
+    row = jnp.stack(rrows).reshape(-1)[:np_].reshape(-1, LANES)
+    bit = jnp.stack(brows).reshape(-1)[:np_].reshape(-1, LANES)
+
+    # Residue collisions: unresolved rays whose slot another ray won.
+    leftover = mask & (winner[None, :] != jnp.arange(R)[:, None])
+    leftover = leftover.reshape(-1)[:np_].reshape(-1, LANES)
+
+    def safety(args):
+        hit_s, row, bit = args
+        smax3 = jnp.where(leftover, smax, -1.0)
+        t3, row3, bit3 = _trace_pallas(
+            tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0,
+            tables.l2_r1, tables.mask_lo, tables.mask_hi,
+            ox, oy, oz, dx, dy, dz, sres, smax3,
+            mask_chunks=tables.mask_chunks, mode=mode, rounds=rounds,
+            interpret=interpret,
+        )
+        return (jnp.where(leftover, t3, hit_s),
+                jnp.where(leftover, row3, row),
+                jnp.where(leftover, bit3, bit))
+
+    hit_s, row, bit = jax.lax.cond(
+        jnp.any(leftover), safety, lambda a: a, (hit_s, row, bit))
+
+    hit_s = hit_s.reshape(-1)[:n]
+    return hit_s / dlen, row.reshape(-1)[:n], bit.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("mask_chunks", "rounds", "interpret"))
 def _trace_pallas_ao_fg(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
                         ox, oy, oz, dx, dy, dz,
@@ -800,7 +959,7 @@ def _trace_pallas_ao_fg(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
 
 def trace_instance_pallas_ao_fg(tables, origin, direction,
                                 t_min, t_ao, t_max,
-                                rounds: int = 16, interpret: bool = False):
+                                rounds: int = 64, interpret: bool = False):
     """Fused AO + final-gather trace against one model: one traversal of
     the shared cosine ray (contract: ``t_min <= t_ao <= t_max`` per
     active lane; inactive lanes carry ``t_ao = t_max = -1``). Returns
@@ -837,7 +996,7 @@ def trace_instance_pallas_ao_fg(tables, origin, direction,
 
 
 def trace_scene_pallas_ao_fg(scene, origin, direction, t_min, t_ao, t_max,
-                             rounds: int = 16,
+                             rounds: int = 64,
                              interpret: bool | None = None):
     """Fused AO + final-gather over every instance. Returns two
     TraceResults (ao, fg): ao carries only t/inst (row/bit are -1 — the
@@ -919,10 +1078,15 @@ def _xform_dir(a34, d):
 
 
 def trace_scene_pallas(scene, origin, direction, t_min, t_max,
-                       mode: str = "precise", rounds: int = 16,
-                       interpret: bool | None = None):
+                       mode: str = "precise", rounds: int = 64,
+                       interpret: bool | None = None,
+                       two_phase: bool = False):
     """Closest-hit trace against every instance with the Pallas kernel —
-    same contract as :func:`dust_tpu.ops.traverse.trace_scene`."""
+    same contract as :func:`dust_tpu.ops.traverse.trace_scene`.
+
+    ``two_phase`` uses the straggler-decoupled path
+    (:func:`trace_instance_pallas_2p`): identical results, faster on
+    real hardware for deep/incoherent workloads."""
     from dust_tpu.ops.traverse import TraceResult
 
     if interpret is None:
@@ -951,7 +1115,9 @@ def trace_scene_pallas(scene, origin, direction, t_min, t_max,
         cap = jnp.minimum(t_max, best_t)
         from dust_tpu.ops.traverse import clip_to_model_aabb
         tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap)
-        t, row, bit = trace_instance_pallas(
+        tracer = trace_instance_pallas_2p if two_phase else \
+            trace_instance_pallas
+        t, row, bit = tracer(
             tables, o_obj, d_obj, tn, cap, mode=mode, rounds=rounds,
             interpret=interpret,
         )
