@@ -213,6 +213,98 @@ def _luma(c):
     return jnp.sum(c * jnp.asarray(_LUMA), axis=-1)
 
 
+def _pool2(x):
+    """2×2 sum pool, stride 2 (TPU-native reduce_window; strided slices
+    relayout through the scalar path and cost ~5 ms per 1080p image)."""
+    a = x if x.ndim == 3 else x[..., None]
+    r = jax.lax.reduce_window(a, 0.0, jax.lax.add,
+                              (2, 2, 1), (2, 2, 1), "VALID")
+    return r if x.ndim == 3 else r[..., 0]
+
+
+def downsample_inputs(radiance, hitdist, depth, normal, world_pos, motion):
+    """2× downsample of the denoiser inputs for the half-res indirect
+    path: validity-weighted 2×2 means (sum pools — no strided slicing).
+    Quads mixing two surfaces produce blended geometry; the temporal
+    validity tests and the upsample's geometry gate reject those taps,
+    so the cost of averaging is shorter history at edges, not leaks."""
+    valid = jnp.isfinite(depth)
+    w = valid.astype(jnp.float32)
+    ws = _pool2(w)
+    inv = 1.0 / jnp.maximum(ws, 1.0)
+
+    def mean(x, mask_val=0.0):
+        xm = jnp.where((valid if x.ndim == 2 else valid[..., None]),
+                       x, mask_val)
+        return _pool2(xm * (w if x.ndim == 2 else w[..., None])) * (
+            inv if x.ndim == 2 else inv[..., None])
+
+    rad = mean(radiance)
+    hd = mean(hitdist)
+    d = jnp.where(ws > 0, mean(depth), jnp.inf)
+    nrm = mean(normal)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = jnp.where(nlen > 0.3, nrm / jnp.maximum(nlen, 1e-6),
+                    jnp.asarray([0.0, 0.0, 1.0]))
+    return rad, hd, d, nrm, mean(world_pos), mean(motion)
+
+
+def _up2_axis(x, axis, kernel):
+    """1-D 2× upsample along ``axis`` via a dilated depthwise conv
+    (transposed-conv lowering — the TPU-native way; jnp.repeat/parity
+    selects relayout lanes). ``kernel``: 4 taps aligned so output 2i
+    reads taps {i-1: k0, i: k2} and 2i+1 reads {i: k1, i+1: k3}."""
+    h, wdt, c = x.shape
+    if axis == 0:
+        k = jnp.broadcast_to(
+            jnp.asarray(kernel, x.dtype).reshape(4, 1, 1, 1), (4, 1, 1, c))
+        pad, dil = ((2, 2), (0, 0)), (2, 1)
+    else:
+        k = jnp.broadcast_to(
+            jnp.asarray(kernel, x.dtype).reshape(1, 4, 1, 1), (1, 4, 1, c))
+        pad, dil = ((0, 0), (2, 2)), (1, 2)
+    out = jax.lax.conv_general_dilated(
+        x[None], k, window_strides=(1, 1), padding=pad,
+        lhs_dilation=dil, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )[0]
+    return out[: 2 * h] if axis == 0 else out[:, : 2 * wdt]
+
+
+_K_BILIN = (0.25, 0.75, 0.75, 0.25)
+_K_NEAREST = (0.0, 1.0, 1.0, 0.0)
+
+
+def upsample_bilateral(img_half, hd_half, depth_half, normal_half,
+                       depth_full, normal_full):
+    """Joint-bilateral 2× upsample of the half-res denoised indirect.
+
+    Separable bilinear (dilated-conv) upsample of the payload AND its
+    geometry; where the bilinearly-interpolated geometry disagrees with
+    the full-res G-buffer (a geometric edge), fall back to the nearest
+    half texel — GI stays crisp at edges, smooth in the interior."""
+    H, W = depth_full.shape
+    pack = jnp.concatenate(
+        [img_half, hd_half[..., None], depth_half[..., None], normal_half],
+        axis=-1)  # (h2, w2, 8)
+
+    ones = jnp.ones(pack.shape[:2] + (1,), pack.dtype)
+    up_b = _up2_axis(_up2_axis(pack, 0, _K_BILIN), 1, _K_BILIN)[:H, :W]
+    nrm_b = _up2_axis(_up2_axis(ones, 0, _K_BILIN), 1, _K_BILIN)[:H, :W]
+    up_b = up_b / jnp.maximum(nrm_b, 1e-6)  # border weight renorm
+    up_n = _up2_axis(_up2_axis(pack, 0, _K_NEAREST), 1, _K_NEAREST)[:H, :W]
+
+    ok = (
+        (jnp.abs(up_b[..., 4] - depth_full)
+         < 0.1 * jnp.maximum(depth_full, 1.0))
+        & (jnp.sum(up_b[..., 5:8] * normal_full, axis=-1) > 0.85)
+    )
+    sel = ok[..., None]
+    out = jnp.where(sel, up_b[..., 0:3], up_n[..., 0:3])
+    hd = jnp.where(ok, up_b[..., 3], up_n[..., 3])
+    return out, hd
+
+
 def denoise(
     state: DenoiserState,
     radiance: jnp.ndarray,       # (H,W,3) linear current-frame illuminance

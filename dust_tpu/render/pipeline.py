@@ -87,10 +87,14 @@ def make_frame_state(settings: RenderSettings, scene=None) -> FrameState:
         p = settings.surfels.pool_size
         surfels = jnp.zeros((p, 4), jnp.float32).at[:, 3].set(
             float(INVALID_SURFEL))
+    half = (settings.denoiser.half_res_indirect
+            and settings.height % 2 == 0 and settings.width % 2 == 0)
+    div = 2 if half else 1
     return FrameState(
         gi=gi,
         surfels=surfels,
-        denoiser=denoiselib.make_denoiser_state(settings.height, settings.width),
+        denoiser=denoiselib.make_denoiser_state(settings.height // div,
+                                                settings.width // div),
         exposure_avg=jnp.asarray(1.0, jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
         prev_view_proj=jnp.eye(4, dtype=jnp.float32),
@@ -266,6 +270,7 @@ def render_frame(
     illum = jnp.zeros((n, 3))
 
     sun_dir = sky_state.direction
+    direct = jnp.zeros((n, 3))
     if settings.contribution_direct:
         facing = (jnp.sum(normal * sun_dir, axis=-1) > 0.0) & hit
         shadow = trace(
@@ -277,7 +282,7 @@ def render_frame(
             1.0 - jnp.cos(sky_state.solar_radius)
         )
         ndotl = jnp.maximum(jnp.sum(normal * sun_dir, axis=-1), 0.0)
-        illum = illum + jnp.where(
+        direct = jnp.where(
             unoccluded[:, None], strength * ndotl[:, None], 0.0
         )
 
@@ -356,9 +361,11 @@ def render_frame(
     # Radiance + hit distance image (REBLUR packing semantics).
     # ao.rchit stores gl_HitTEXT for any hit (the 0xFF report-at-entry mode
     # only changes *where* the intersector reports, already folded into ao.t).
+    # ``illum`` holds the stochastic INDIRECT signal; ``direct`` (sun NEE)
+    # is deterministic and composed after denoising on the half-res path.
     hitdist = jnp.where(ao_hit, ao.t, 0.0)
     hitdist = jnp.where(fg_hit, fg.t, hitdist)
-    radiance_img = jnp.where(hit[:, None], illum, sky_out)
+    radiance_img = jnp.where(hit[:, None], direct + illum, sky_out)
     hitdist = jnp.where(hit, hitdist, 100000.0)
 
     # -------------------------------------------------- 4. surfel pass
@@ -469,17 +476,39 @@ def render_frame(
         surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
 
     # -------------------------------------------------- 5. post
-    denoised, acc_hd, new_den = denoiselib.denoise(
-        state.denoiser,
-        from_tiles(radiance_img),
-        from_tiles(hitdist),
-        from_tiles(g["depth"]),
-        from_tiles(normal),
-        from_tiles(g["world_pos"]),
-        from_tiles(g["motion"]),
-        state.prev_view_proj,
-        settings.denoiser,
-    )
+    half = settings.denoiser.half_res_indirect and H % 2 == 0 and W % 2 == 0
+    dep2 = from_tiles(g["depth"])
+    nor2 = from_tiles(normal)
+    if not half:
+        # Reference-lumped path: direct + indirect through the denoiser
+        # together (what NRD REBLUR receives in standard.rs).
+        denoised, acc_hd, new_den = denoiselib.denoise(
+            state.denoiser,
+            from_tiles(radiance_img),
+            from_tiles(hitdist),
+            dep2, nor2,
+            from_tiles(g["world_pos"]),
+            from_tiles(g["motion"]),
+            state.prev_view_proj,
+            settings.denoiser,
+        )
+    else:
+        # Half-res indirect: only the stochastic channel pays for the
+        # temporal chain; the zero-variance sun NEE composes at full res
+        # (see DenoiserSettings.half_res_indirect).
+        ind2 = from_tiles(jnp.where(hit[:, None], illum, 0.0))
+        rh, hh, dh, nh, wh, mh = denoiselib.downsample_inputs(
+            ind2, from_tiles(hitdist), dep2, nor2,
+            from_tiles(g["world_pos"]), from_tiles(g["motion"]))
+        den_h, hd_h, new_den = denoiselib.denoise(
+            state.denoiser, rh, hh, dh, nh, wh, mh,
+            state.prev_view_proj, settings.denoiser,
+        )
+        ind_full, acc_hd = denoiselib.upsample_bilateral(
+            den_h, hd_h, dh, nh, dep2, nor2)
+        valid2 = jnp.isfinite(dep2)
+        denoised = jnp.where(valid2[..., None], ind_full, 0.0) + from_tiles(
+            jnp.where(hit[:, None], direct, sky_out))
 
     weighted = exposurelib.mean_bin(denoised, settings.exposure)
     new_avg = exposurelib.adapt_average_luminance(

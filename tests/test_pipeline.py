@@ -86,6 +86,8 @@ class TestRenderFrame:
             out, aux, state = _frame(setup, state)
         hist = np.array(state.denoiser.history_len)
         hits = np.isfinite(np.array(aux["depth"]))
+        if hist.shape != hits.shape:  # half-res indirect history
+            hits = hits[0::2, 0::2]
         # Static camera: history accumulates on surfaces.
         assert hist[hits].mean() > 1.5
 
@@ -157,3 +159,58 @@ class TestDenseGICache:
         _, _, b = _frame(dense_setup, resumed)
         np.testing.assert_array_equal(np.array(a.gi.table),
                                       np.array(b.gi.table))
+
+
+class TestHalfResIndirect:
+    """The half-res indirect denoise path (DenoiserSettings.
+    half_res_indirect): the stochastic GI channel filters at half
+    resolution and composes with the full-res deterministic sun term."""
+
+    def _render(self, half):
+        import dataclasses
+        settings = RenderSettings(
+            width=96, height=54, gi_cache="dense",
+            spatial_hash=SpatialHashSettings(capacity=1 << 14),
+        )
+        settings = dataclasses.replace(
+            settings,
+            denoiser=dataclasses.replace(settings.denoiser,
+                                         half_res_indirect=half))
+        scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
+        sky = bake_sky(settings.sunlight)
+        bn = load_blue_noise()
+        c2w = cam.look_at((150, 90, 180), (0, 30, 0))
+        cs = cam.camera_settings(
+            c2w, settings.camera.fov, settings.camera.near,
+            settings.camera.far, settings.width, settings.height)
+        state = make_frame_state(settings, scene)
+        for _ in range(3):
+            out, _aux, state = render_frame(
+                scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+                settings, tile=2048)
+        return np.array(out)
+
+    def test_close_to_full_res(self):
+        """Half-res GI must stay near the full-res result: the indirect
+        field is low-frequency, the direct term is identical by
+        construction, and the upsample is geometry-guided."""
+        full = self._render(half=False)
+        halfr = self._render(half=True)
+        assert np.isfinite(halfr).all()
+        rmse = float(np.sqrt(np.mean((full - halfr) ** 2)))
+        assert rmse < 0.08, rmse
+        # Means agree tightly (no energy gained/lost by the split).
+        assert abs(full.mean() - halfr.mean()) < 0.02
+
+    def test_history_is_half_sized(self):
+        import dataclasses
+        s = RenderSettings(width=96, height=54, gi_cache="dense")
+        st = make_frame_state(s, build_device_scene(
+            load_vox_scene(procgen.teapot_scene_bytes())))
+        assert st.denoiser.history.shape[:2] == (27, 48)
+        s2 = dataclasses.replace(
+            s, denoiser=dataclasses.replace(s.denoiser,
+                                            half_res_indirect=False))
+        st2 = make_frame_state(s2, build_device_scene(
+            load_vox_scene(procgen.teapot_scene_bytes())))
+        assert st2.denoiser.history.shape[:2] == (54, 96)
