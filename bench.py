@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", choices=["pallas", "jnp"], default=None)
     ap.add_argument("--gi-cache", choices=["dense", "hash"], default="dense")
+    ap.add_argument("--fuse-gi", action="store_true",
+                    help="fused AO+FG walk (measured 2.5 ms slower than "
+                    "split at 1080p; kept for tuning)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -66,6 +69,7 @@ def main():
         surfels=SurfelSettings(pool_size=pool),
         traversal_backend=args.backend or ("pallas" if not args.cpu else "jnp"),
         gi_cache=args.gi_cache,
+        fuse_ao_fg=args.fuse_gi,
     )
     scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
     state = make_frame_state(settings, scene)

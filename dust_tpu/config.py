@@ -168,6 +168,14 @@ class RenderSettings:
     # "pallas" (hand-written Mosaic kernel).
     traversal_backend: str = "jnp"
 
+    # Fuse the AO + final-gather traversals into one Pallas walk (they
+    # continue the same cosine ray; ambient_occlusion.rgen +
+    # final_gather.rgen). In-frame the FG leg dominates trace time
+    # (incoherent long rays), so sharing its march with AO saves a full
+    # dispatch + the shared descent. Pallas single-chip only; ignored
+    # elsewhere.
+    fuse_ao_fg: bool = False
+
     # GI cache backend: "hash" = the reference's open-addressed spatial
     # hash + stochastic surfel pool (unbounded scenes); "dense" = one row
     # per (instance, leaf_row, face) cell, scatter-free inserts, every

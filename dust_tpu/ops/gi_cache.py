@@ -10,16 +10,24 @@ a 64+ MB table (~32 ms) and a 345k-row scatter per insert (~35 ms).
 This module keys the *same* quantity a different way. With ≤256³ models,
 every cell the hash could ever hold is one of ``instances × leaf_rows ×
 6 faces`` — a few hundred thousand rows that enumerate statically. The
-cache is therefore a dense ``(R, 4)`` table ``[radiance_acescg rgb,
-sample_count]`` indexed by ``(instance, leaf_row, world_face)``:
+cache is therefore a dense table indexed by ``(instance, leaf_row,
+world_face)``:
 
-* **get** is a narrow gather from a ~3 MB table (fast; later rounds can
-  lift it into the Pallas trace kernel, the table fits VMEM),
+* **get** is one narrow gather from a ~MB-scale table (fast),
 * **insert** is *elementwise*: the surfel pool in dense mode IS the cell
   list, so every cell updates its own row — no scatter, no sort, no
   collisions, no eviction, and deterministic by construction,
 * the running-mean blend and the 404-sample cap replicate
   ``spatial_hash.glsl:179-195`` exactly.
+
+Row layout (3 × int32 = 12 B — TPU gather cost scales with row count,
+and the 2M-ray fetch pays once per frame, so the row also CARRIES the
+leaf's average albedo; that deletes the separate per-hit ``leaf_attr_fg``
+gather the final-gather/surfel shading used to pay):
+
+    w0 = f16(radiance r) | f16(radiance g) << 16      (ACEScg)
+    w1 = f16(radiance b) | sample_count(u16) << 16     (count ≤ 404 exact)
+    w2 = leaf avg albedo (R10G10B10A2, vox geometry pack)
 
 Keying equivalence: for rigid instances the reference's world cell
 ``trunc(leaf_center_world / 4)`` is in 1:1 correspondence with
@@ -34,6 +42,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -44,23 +53,31 @@ __all__ = [
 MAX_SAMPLE_COUNT = 404  # spatial_hash.glsl:179
 
 
+def _f16_bits(x):
+    return jax.lax.bitcast_convert_type(
+        x.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+
+
+def _bits_f16(b):
+    return jax.lax.bitcast_convert_type(
+        (b & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+
+
 class DenseGICache(NamedTuple):
-    """[r, g, b (ACEScg), sample_count] per (instance, leaf_row, face).
+    """Packed rows per (instance, leaf_row, face) — layout in module doc."""
 
-    f16 storage halves the 2M-ray fetch (TPU gather cost scales with row
-    bytes); the running mean runs in f32 and rounds on store — the same
-    precision budget as the reference's LogLuv-packed hash rows. Counts
-    ≤ 404 are exact in f16."""
-
-    table: jnp.ndarray  # (R, 4) float16
+    table: jnp.ndarray  # (R, 3) int32
 
     @property
     def radiance(self) -> jnp.ndarray:
-        return self.table[:, :3].astype(jnp.float32)
+        w = self.table.astype(jnp.uint32)
+        return jnp.stack(
+            [_bits_f16(w[:, 0]), _bits_f16(w[:, 0] >> 16),
+             _bits_f16(w[:, 1])], axis=-1)
 
     @property
     def count(self) -> jnp.ndarray:
-        return self.table[:, 3].astype(jnp.float32)
+        return (self.table[:, 1].astype(jnp.uint32) >> 16).astype(jnp.float32)
 
 
 def dense_rows(scene) -> int:
@@ -69,8 +86,15 @@ def dense_rows(scene) -> int:
     return scene.num_instances * lmax * 6
 
 
-def make_dense_gi_cache(rows: int) -> DenseGICache:
-    return DenseGICache(table=jnp.zeros((rows, 4), jnp.float16))
+def make_dense_gi_cache(scene) -> DenseGICache:
+    """Zero-radiance cache with each row's albedo word pre-filled from
+    the scene's per-leaf average albedo (6 faces share the leaf's)."""
+    inst_model = jnp.asarray(scene.inst_model, jnp.int32)
+    alb = scene.avg_albedo[inst_model].reshape(-1)       # (I*lmax,) u32
+    alb6 = jnp.repeat(alb, 6).astype(jnp.uint32)
+    zeros = jnp.zeros_like(alb6)
+    return DenseGICache(table=jax.lax.bitcast_convert_type(
+        jnp.stack([zeros, zeros, alb6], axis=-1), jnp.int32))
 
 
 def dense_index(lmax: int, inst: jnp.ndarray, row: jnp.ndarray,
@@ -84,28 +108,33 @@ def dense_index(lmax: int, inst: jnp.ndarray, row: jnp.ndarray,
 
 
 def dense_get(cache: DenseGICache, idx: jnp.ndarray, valid: jnp.ndarray):
-    """Returns (found, radiance_acescg, sample_count) — the hash_get
-    contract (spatial_hash.glsl:200-220) without probes or fingerprints:
-    a cell is found iff it has ever been written."""
-    rows = jnp.take(cache.table, idx, axis=0).astype(jnp.float32)
-    count = rows[..., 3]
+    """Returns (found, radiance_acescg, sample_count, albedo_u32) — the
+    hash_get contract (spatial_hash.glsl:200-220) without probes or
+    fingerprints, plus the leaf albedo riding in the same row."""
+    rows = jnp.take(cache.table, idx, axis=0).astype(jnp.uint32)
+    count = (rows[..., 1] >> 16).astype(jnp.float32)
     found = valid & (count > 0)
-    radiance = jnp.where(found[..., None], rows[..., :3], 0.0)
-    return found, radiance, jnp.where(found, count, 0.0)
+    radiance = jnp.stack(
+        [_bits_f16(rows[..., 0]), _bits_f16(rows[..., 0] >> 16),
+         _bits_f16(rows[..., 1])], axis=-1)
+    radiance = jnp.where(found[..., None], radiance, 0.0)
+    return found, radiance, jnp.where(found, count, 0.0), rows[..., 2]
 
 
 def dense_update(cache: DenseGICache, value: jnp.ndarray,
                  valid: jnp.ndarray) -> DenseGICache:
     """Elementwise running-mean insert, one value per cache row
     (spatial_hash.glsl:186-195's blend, scatter-free: in dense mode the
-    surfel pool enumerates the rows)."""
+    surfel pool enumerates the rows). The albedo word is preserved."""
     c0 = jnp.minimum(cache.count, float(MAX_SAMPLE_COUNT - 1))
     new_rad = (cache.radiance * c0[:, None] + value) / (c0 + 1.0)[:, None]
-    new_cnt = jnp.minimum(cache.count + 1.0, float(MAX_SAMPLE_COUNT))
-    table = jnp.where(
-        valid[:, None],
-        jnp.concatenate([new_rad, new_cnt[:, None]],
-                        axis=-1).astype(jnp.float16),
-        cache.table,
-    )
+    new_cnt = jnp.minimum(cache.count + 1.0,
+                          float(MAX_SAMPLE_COUNT)).astype(jnp.uint32)
+    w0 = _f16_bits(new_rad[:, 0]) | (_f16_bits(new_rad[:, 1]) << 16)
+    w1 = _f16_bits(new_rad[:, 2]) | (new_cnt << 16)
+    old = cache.table.astype(jnp.uint32)
+    table = jax.lax.bitcast_convert_type(
+        jnp.where(valid[:, None], jnp.stack([w0, w1, old[:, 2]], axis=-1),
+                  old),
+        jnp.int32)
     return DenseGICache(table=table)

@@ -185,3 +185,34 @@ def leaf_attributes(scene, res, origin_w, dir_w, cell_size: float = 4.0):
         aabb_normal=aabb_normal_w,
         avg_albedo=albedo_rgba,
     )
+
+
+def entry_face(scene, res, origin_w, dir_w):
+    """World-space cube-face id of a rough hit WITHOUT the leaf-row
+    gather (dense-GI fast path).
+
+    A rough hit's t is the leaf-AABB entry (``rough.rint``), so the hit
+    point lies on a plane ``coord = 4k`` of the object-space block grid;
+    the entry axis is the axis whose coordinate is nearest that grid,
+    and the face normal is the axis flipped against the ray — exactly
+    ``cubed_normalize(hit - leaf_center)`` evaluated analytically
+    (final_gather.rchit:38-46), since the entry point's offset from the
+    leaf center is ±2 on the entry axis and <2 elsewhere. Ties at box
+    edges resolve by fixed axis order, as the arithmetic in the gather
+    path already did."""
+    hit = res.inst >= 0
+    inst = jnp.maximum(res.inst, 0)
+    o_obj = _inst_xform(scene.world_to_obj, inst, origin_w, True)
+    d_obj = _inst_xform(scene.world_to_obj, inst, dir_w, False)
+    t = jnp.where(hit, res.t, 0.0)
+    hit_obj = o_obj + d_obj * t[:, None]
+
+    v = hit_obj * 0.25
+    fr = jnp.abs(v - jnp.round(v))           # distance to the block grid
+    ax_y = (fr[:, 1] <= fr[:, 0]) & (fr[:, 1] <= fr[:, 2])
+    ax_z = ~ax_y & (fr[:, 2] <= fr[:, 0]) & (fr[:, 2] <= fr[:, 1])
+    ax_x = ~ax_y & ~ax_z
+    axes = jnp.stack([ax_x, ax_y, ax_z], axis=-1).astype(jnp.float32)
+    n_obj = -jnp.sign(d_obj) * axes          # face normal opposes the ray
+    n_world = _inst_xform(scene.obj_to_world, inst, n_obj, False)
+    return pk.normal_to_face_id(pk.cubed_normalize(n_world))

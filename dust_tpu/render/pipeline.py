@@ -80,7 +80,7 @@ def make_frame_state(settings: RenderSettings, scene=None) -> FrameState:
         if scene is None:
             raise ValueError("gi_cache='dense' sizes the cache from the "
                              "scene; pass make_frame_state(settings, scene)")
-        gi = gilib.make_dense_gi_cache(gilib.dense_rows(scene))
+        gi = gilib.make_dense_gi_cache(scene)
         surfels = jnp.zeros((0, 4), jnp.float32)
     else:
         gi = sh.make_spatial_hash(settings.spatial_hash.capacity)
@@ -297,29 +297,51 @@ def render_frame(
     dense = settings.gi_cache == "dense"
     lmax = scene.mask_lo.shape[1]
     # Note: a fused AO+FG kernel exists (pallas_trace.trace_scene_pallas_
-    # ao_fg, oracle-tested) but MEASURES SLOWER than the split passes
-    # (9.2 ms vs 3.1+3.8 on v5e): the union walk pays the per-round fixed
-    # costs (rank gathers, scalar syncs, fatter dispatch) over the
-    # combined round count, while the split kernels each run slimmer
-    # bodies and the passes share only the t=thr descent. Keeping split.
-    ao = trace(scene, hit_loc, gi_dir, 0.1, jnp.where(hit, thr, -1.0),
-               "ao_threshold")
-    ao_hit = ao.hit
-
-    # -------------------------------------------------- 3. final gather
-    fg_active = hit & ~ao_hit
-    fg = trace(scene, hit_loc, gi_dir, thr,
-               jnp.where(fg_active, cam.far, -1.0), "rough")
-    leaf = shade.leaf_attributes(scene, fg, hit_loc, gi_dir,
-                                 settings.spatial_hash.cell_size)
-    fg_hit = fg_active & fg.hit
-    if dense:
-        found, cached, cnt = gilib.dense_get(
-            state.gi, gilib.dense_index(lmax, fg.inst, fg.row, leaf["face"]),
-            fg_hit)
+    # ao_fg, oracle-tested) and is selectable below — but it measures
+    # SLOWER than the split passes on both synthetic and real in-frame
+    # rays (75.3 vs 72.8 ms/frame at 1080p): the union walk pays the
+    # per-round fixed costs (rank gathers, scalar syncs, fatter
+    # dispatch) over the combined round count, while the split kernels
+    # run slimmer bodies and share only the t=thr descent.
+    fused_gi = settings.fuse_ao_fg and use_pallas and ray_sharding is None
+    if fused_gi:
+        # One walk for the shared cosine ray: AO below the threshold,
+        # rough FG past it, FG gated on AO escape inside the kernel
+        # (trace_scene_pallas_ao_fg; oracle-tested vs the split pair).
+        from dust_tpu.ops.pallas_trace import trace_scene_pallas_ao_fg
+        ao, fg = trace_scene_pallas_ao_fg(
+            scene, hit_loc, gi_dir, 0.1,
+            jnp.where(hit, thr, -1.0), jnp.where(hit, cam.far, -1.0))
+        ao_hit = ao.hit
+        fg_active = hit & ~ao_hit
+        fg_hit = fg_active & fg.hit
     else:
-        found, cached, cnt = sh.hash_get(state.gi, leaf["qpos"], leaf["face"])
-    albedo_lin = colorlib.srgb_eotf(leaf["avg_albedo"][:, :3], xp=jnp)
+        ao = trace(scene, hit_loc, gi_dir, 0.1, jnp.where(hit, thr, -1.0),
+                   "ao_threshold")
+        ao_hit = ao.hit
+
+        # ---------------------------------------------- 3. final gather
+        fg_active = hit & ~ao_hit
+        fg = trace(scene, hit_loc, gi_dir, thr,
+                   jnp.where(fg_active, cam.far, -1.0), "rough")
+        fg_hit = fg_active & fg.hit
+    if dense:
+        # Dense fast path: face computed analytically from the entry
+        # geometry and albedo riding in the cache row — no leaf-row
+        # gather at all (shade.entry_face + gi_cache layout docs).
+        face = shade.entry_face(scene, fg, hit_loc, gi_dir)
+        found, cached, cnt, alb_u32 = gilib.dense_get(
+            state.gi, gilib.dense_index(lmax, fg.inst, fg.row, face),
+            fg_hit)
+        from dust_tpu.vox.geometry import unpack_r10g10b10a2
+        fg_albedo = unpack_r10g10b10a2(alb_u32, xp=jnp)
+    else:
+        leaf = shade.leaf_attributes(scene, fg, hit_loc, gi_dir,
+                                     settings.spatial_hash.cell_size)
+        found, cached, cnt = sh.hash_get(state.gi, leaf["qpos"],
+                                         leaf["face"])
+        fg_albedo = leaf["avg_albedo"]
+    albedo_lin = colorlib.srgb_eotf(fg_albedo[:, :3], xp=jnp)
     indirect = colorlib.srgb_to_acescg(
         colorlib.acescg_to_srgb(cached, xp=jnp) * albedo_lin, xp=jnp
     )
@@ -349,7 +371,7 @@ def render_frame(
         dbg_leaf = shade.leaf_attributes(scene, primary, origins, dirs,
                                          settings.spatial_hash.cell_size)
         if dense:
-            _, dbg_rad, _ = gilib.dense_get(
+            _, dbg_rad, _, _dbg_alb = gilib.dense_get(
                 state.gi,
                 gilib.dense_index(lmax, primary.inst, primary.row,
                                   dbg_leaf["face"]), hit)
@@ -426,19 +448,23 @@ def render_frame(
 
     s_res = trace(scene, s_origin, s_dir, 0.1,
                   jnp.where(s_valid, 10000.0, -1.0), "rough")
-    s_leaf = shade.leaf_attributes(scene, s_res, s_origin, s_dir,
-                                   settings.spatial_hash.cell_size)
     s_hit = s_valid & s_res.hit
     if dense:
-        s_found, s_cached, s_cnt = gilib.dense_get(
+        s_face = shade.entry_face(scene, s_res, s_origin, s_dir)
+        s_found, s_cached, s_cnt, s_alb_u32 = gilib.dense_get(
             state.gi,
-            gilib.dense_index(lmax, s_res.inst, s_res.row, s_leaf["face"]),
+            gilib.dense_index(lmax, s_res.inst, s_res.row, s_face),
             s_hit)
+        from dust_tpu.vox.geometry import unpack_r10g10b10a2
+        s_albedo = unpack_r10g10b10a2(s_alb_u32, xp=jnp)
     else:
+        s_leaf = shade.leaf_attributes(scene, s_res, s_origin, s_dir,
+                                       settings.spatial_hash.cell_size)
         s_found, s_cached, s_cnt = sh.hash_get(
             state.gi, s_leaf["qpos"], s_leaf["face"]
         )
-    s_albedo_lin = colorlib.srgb_eotf(s_leaf["avg_albedo"][:, :3], xp=jnp)
+        s_albedo = s_leaf["avg_albedo"]
+    s_albedo_lin = colorlib.srgb_eotf(s_albedo[:, :3], xp=jnp)
     s_bounce = colorlib.srgb_to_acescg(
         colorlib.acescg_to_srgb(s_cached, xp=jnp) * s_albedo_lin, xp=jnp
     )

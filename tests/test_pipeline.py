@@ -214,3 +214,54 @@ class TestHalfResIndirect:
         st2 = make_frame_state(s2, build_device_scene(
             load_vox_scene(procgen.teapot_scene_bytes())))
         assert st2.denoiser.history.shape[:2] == (54, 96)
+
+
+def test_entry_face_matches_leaf_attributes():
+    """The analytic entry face (shade.entry_face — no leaf-row gather)
+    must agree with the gather-based leaf_attributes face for rough hits
+    (both reduce to cubed_normalize(hit - leaf_center); ties at box
+    edges are measure-zero)."""
+    from dust_tpu.ops import shade
+    from dust_tpu.ops.traverse import trace_scene
+
+    scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
+    c2w = cam.look_at((150, 90, 180), (0, 30, 0))
+    cs = cam.camera_settings(c2w, 1.0, 0.1, 10000.0, 64, 36)
+    import jax.numpy as jnp
+    dirs = jnp.asarray(np.array(cam.camera_ray_dirs(cs, 64, 36)).reshape(-1, 3))
+    n = dirs.shape[0]
+    o = jnp.broadcast_to(jnp.asarray(np.array(cs.position)), (n, 3))
+    res = trace_scene(scene, o, dirs, 0.1, 10000.0, mode="rough")
+    hit = np.array(res.hit)
+    assert hit.sum() > 200
+    fa = np.array(shade.entry_face(scene, res, o, dirs))
+    leaf = shade.leaf_attributes(scene, res, o, dirs)
+    fb = np.array(leaf["face"])
+    agree = (fa[hit] == fb[hit]).mean()
+    assert agree > 0.999, agree
+
+
+def test_dense_cache_packed_roundtrip():
+    """Packed dense-GI rows: radiance f16 round-trips, counts are exact
+    integers, the albedo word survives updates."""
+    from dust_tpu.ops import gi_cache as gi
+    import jax.numpy as jnp
+
+    scene = build_device_scene(load_vox_scene(procgen.teapot_scene_bytes()))
+    c = gi.make_dense_gi_cache(scene)
+    rows = c.table.shape[0]
+    alb0 = np.array(c.table[:, 2])
+    assert (np.array(c.count) == 0).all()
+    val = jnp.ones((rows, 3)) * jnp.asarray([0.25, 1.5, 3.0])
+    valid = jnp.arange(rows) % 2 == 0
+    c2 = gi.dense_update(c, val, valid)
+    np.testing.assert_array_equal(np.array(c2.table[:, 2]), alb0)
+    cnt = np.array(c2.count)
+    assert (cnt[::2] == 1).all() and (cnt[1::2] == 0).all()
+    found, rad, cnt2, alb = gi.dense_get(
+        c2, jnp.arange(rows), jnp.ones(rows, bool))
+    np.testing.assert_allclose(np.array(rad)[::2], np.array(val)[::2],
+                               rtol=1e-3)
+    assert not np.array(found)[1::2].any()
+    np.testing.assert_array_equal(
+        np.array(alb), alb0.astype(np.uint32).view(np.uint32))
