@@ -249,50 +249,59 @@ def downsample_inputs(radiance, hitdist, depth, normal, world_pos, motion):
     return rad, hd, d, nrm, mean(world_pos), mean(motion)
 
 
-def _up2_axis(x, axis, kernel):
-    """1-D 2× upsample along ``axis`` via a dilated depthwise conv
-    (transposed-conv lowering — the TPU-native way; jnp.repeat/parity
-    selects relayout lanes). ``kernel``: 4 taps aligned so output 2i
-    reads taps {i-1: k0, i: k2} and 2i+1 reads {i: k1, i+1: k3}."""
-    h, wdt, c = x.shape
-    if axis == 0:
-        k = jnp.broadcast_to(
-            jnp.asarray(kernel, x.dtype).reshape(4, 1, 1, 1), (4, 1, 1, c))
-        pad, dil = ((2, 2), (0, 0)), (2, 1)
-    else:
-        k = jnp.broadcast_to(
-            jnp.asarray(kernel, x.dtype).reshape(1, 4, 1, 1), (1, 4, 1, c))
-        pad, dil = ((0, 0), (2, 2)), (1, 2)
-    out = jax.lax.conv_general_dilated(
-        x[None], k, window_strides=(1, 1), padding=pad,
-        lhs_dilation=dil, dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )[0]
-    return out[: 2 * h] if axis == 0 else out[:, : 2 * wdt]
-
-
 _K_BILIN = (0.25, 0.75, 0.75, 0.25)
 _K_NEAREST = (0.0, 1.0, 1.0, 0.0)
+
+
+def _up2_both(x):
+    """2× upsample of (h2, w2, C) to (2h2, 2w2, 2C) in ONE dilated
+    grouped conv: output channels [0:C] bilinear, [C:2C] nearest (the
+    TPU-native transposed-conv lowering; strided slices / jnp.repeat
+    relayout lanes through the scalar path). 4-tap alignment: output 2i
+    reads taps {i-1: k0, i: k2}, output 2i+1 reads {i: k1, i+1: k3}."""
+    h, wdt, c = x.shape
+    kb = jnp.asarray(_K_BILIN, x.dtype)
+    kn = jnp.asarray(_K_NEAREST, x.dtype)
+    k2b = kb[:, None] * kb[None, :]                    # (4,4)
+    k2n = kn[:, None] * kn[None, :]
+    eye = jnp.eye(c, dtype=x.dtype)
+    # Block-diagonal HWIO kernel: out[:c] = bilinear, out[c:] = nearest
+    # (contiguous channel blocks — a grouped conv would interleave them,
+    # and strided channel slices relayout lanes). The channel "matmul"
+    # is a 9→18 identity-ish map, free on the MXU.
+    k = jnp.concatenate(
+        [k2b[:, :, None, None] * eye, k2n[:, :, None, None] * eye],
+        axis=-1)                                       # (4,4,c,2c)
+    out = jax.lax.conv_general_dilated(
+        x[None], k, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0]
+    return out[: 2 * h, : 2 * wdt]
 
 
 def upsample_bilateral(img_half, hd_half, depth_half, normal_half,
                        depth_full, normal_full):
     """Joint-bilateral 2× upsample of the half-res denoised indirect.
 
-    Separable bilinear (dilated-conv) upsample of the payload AND its
-    geometry; where the bilinearly-interpolated geometry disagrees with
-    the full-res G-buffer (a geometric edge), fall back to the nearest
-    half texel — GI stays crisp at edges, smooth in the interior."""
+    One grouped transposed conv produces the bilinear AND nearest
+    upsamples of the payload + its geometry; where the bilinearly-
+    interpolated geometry disagrees with the full-res G-buffer (a
+    geometric edge), fall back to the nearest half texel — GI stays
+    crisp at edges, smooth in the interior."""
     H, W = depth_full.shape
+    # Finite sentinel for sky depth: inf would turn the conv's zero-weight
+    # MACs into NaN (0*inf); sky pixels' upsample output is discarded by
+    # the caller anyway.
+    d_h = jnp.minimum(depth_half, 1e9)[..., None]
+    depth_full = jnp.minimum(depth_full, 1e9)
     pack = jnp.concatenate(
-        [img_half, hd_half[..., None], depth_half[..., None], normal_half],
-        axis=-1)  # (h2, w2, 8)
+        [img_half, hd_half[..., None], d_h, normal_half,
+         jnp.ones(depth_half.shape + (1,), img_half.dtype)],
+        axis=-1)  # (h2, w2, 9); last channel renormalises borders
 
-    ones = jnp.ones(pack.shape[:2] + (1,), pack.dtype)
-    up_b = _up2_axis(_up2_axis(pack, 0, _K_BILIN), 1, _K_BILIN)[:H, :W]
-    nrm_b = _up2_axis(_up2_axis(ones, 0, _K_BILIN), 1, _K_BILIN)[:H, :W]
-    up_b = up_b / jnp.maximum(nrm_b, 1e-6)  # border weight renorm
-    up_n = _up2_axis(_up2_axis(pack, 0, _K_NEAREST), 1, _K_NEAREST)[:H, :W]
+    up = _up2_both(pack)[:H, :W]
+    up_b, up_n = up[..., :9], up[..., 9:]
+    up_b = up_b / jnp.maximum(up_b[..., 8:9], 1e-6)  # border weight renorm
 
     ok = (
         (jnp.abs(up_b[..., 4] - depth_full)
