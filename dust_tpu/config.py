@@ -176,6 +176,13 @@ class RenderSettings:
     # elsewhere.
     fuse_ao_fg: bool = False
 
+    # Per-instance material TYPE ids (() = all palette). Static by
+    # design: the set of materials specializes the traced pipeline the
+    # way the reference builds a pipeline permutation per material
+    # subset (render/src/pipeline/manager.rs:277-315) — see
+    # render/materials.py for the registry + dispatch.
+    instance_materials: tuple = ()
+
     # GI cache backend: "hash" = the reference's open-addressed spatial
     # hash + stochastic surfel pool (unbounded scenes); "dense" = one row
     # per (instance, leaf_row, face) cell, scatter-free inserts, every

@@ -138,3 +138,19 @@ def dense_update(cache: DenseGICache, value: jnp.ndarray,
                   old),
         jnp.int32)
     return DenseGICache(table=table)
+
+
+def refresh_dense_albedo(cache: DenseGICache, scene) -> DenseGICache:
+    """Rebuild every row's albedo word from a (possibly refitted) scene,
+    keeping accumulated radiance. After a SceneEditor refit the leaf-row
+    order of an edited model shifts, so its rows' radiance keys are
+    transiently stale — the running mean re-converges within frames
+    (the reference's spatial hash goes stale on edits the same way,
+    spatial_hash.glsl's LRU just evicts old cells eventually)."""
+    inst_model = jnp.asarray(scene.inst_model, jnp.int32)
+    alb = scene.avg_albedo[inst_model].reshape(-1)
+    alb6 = jnp.repeat(alb, 6).astype(jnp.uint32)
+    old = cache.table.astype(jnp.uint32)
+    table = jax.lax.bitcast_convert_type(
+        jnp.stack([old[:, 0], old[:, 1], alb6], axis=-1), jnp.int32)
+    return DenseGICache(table=table)

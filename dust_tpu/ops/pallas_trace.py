@@ -449,6 +449,35 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             cbit = local & 31
             return word, cwidx, cbit, bx, by, bz
 
+        def round_body_rough(rstate):
+            """rough.rint: hit at the block entry; entries before s_min
+            are rejected and skipped. The leaf row is NOT resolved here:
+            a rough freeze is final, so the round stores (word, widx,
+            bit) and ONE rank gather after the outer loop replaces the
+            2x4-chunk gathers every round would pay."""
+            active_i, s, hit_s, hit_widx, hit_bitc, hit_word, rnd = rstate
+            active = active_i != 0
+            active, s, cand, w0, w1 = march(active, s)
+            cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
+
+            fx = cbx.astype(jnp.float32) * 4.0
+            fy = cby.astype(jnp.float32) * 4.0
+            fz = cbz.astype(jnp.float32) * 4.0
+            blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
+                                     fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+
+            ok = cand & active & (blk_in >= s_min) & (blk_in <= s_end)
+            hit_s = jnp.where(ok, jnp.maximum(blk_in, 0.0), hit_s)
+            hit_widx = jnp.where(ok, cwidx, hit_widx)
+            hit_bitc = jnp.where(ok, cbit, hit_bitc)
+            hit_word = jnp.where(ok, cword, hit_word)
+            active = active & ~ok
+            s = jnp.where(cand & active,
+                          jnp.maximum(blk_out, s + _STEP_EPS), s)
+            active = active & (s < s_end)
+            return (active.astype(jnp.int32), s, hit_s, hit_widx, hit_bitc,
+                    hit_word, rnd + jnp.int32(1))
+
         def round_body(rstate):
             active_i, s, hit_s, hit_row, hit_bit, rnd = rstate
             active = active_i != 0
@@ -470,19 +499,6 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
                                      fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
 
-            if mode == "rough":
-                # rough.rint: hit at the block entry; entries before s_min
-                # are rejected and skipped.
-                ok = cand & active & (blk_in >= s_min) & (blk_in <= s_end)
-                hit_s = jnp.where(ok, jnp.maximum(blk_in, 0.0), hit_s)
-                hit_row = jnp.where(ok, row, hit_row)
-                active = active & ~ok
-                s = jnp.where(cand & active,
-                              jnp.maximum(blk_out, s + _STEP_EPS), s)
-                active = active & (s < s_end)
-                return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                        rnd + jnp.int32(1))
-
             if mode == "ao_threshold":
                 thr_inside = cand & active & (s <= s_stop) & (s_stop <= blk_out)
                 ok = thr_inside & (s <= s_end)
@@ -492,6 +508,11 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 active = active & ~ok
 
             # ---- micro DDA (hit.rint:43-137) -------------------------
+            # Mask fetch stays UNGATED: re-measured round 2 with
+            # gate="chunks" on the 15-chunk castle tables — 83 vs 69
+            # ms/frame. Secondary-bounce tiles are incoherent enough to
+            # touch most chunks, so the per-chunk cond syncs are pure
+            # overhead (matches the round-1 finding).
             in_micro = cand & active
             mrow = jnp.where(in_micro, row, 0)
             mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks)
@@ -710,10 +731,28 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
             bit_ref[:] = rstate[4]   # fg_row
             return
 
-        rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                  jnp.int32(0))
-        rstate = jax.lax.while_loop(round_cond, round_body, rstate)
-        hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
+        if mode == "rough":
+            rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                      jnp.zeros(shape, jnp.int32), jnp.int32(0))
+            rstate = jax.lax.while_loop(round_cond, round_body_rough, rstate)
+            hit_s, hit_widx, hit_bitc, hit_word = (rstate[2], rstate[3],
+                                                   rstate[4], rstate[5])
+            # Deferred leaf-row resolution: one rank gather for the whole
+            # trace instead of one per round.
+            got = hit_widx >= 0
+            ccl = jnp.where(got, hit_widx >> 1, 0)
+            r0 = _gather_chunked(l2r0_ref, ccl, 4)
+            r1 = _gather_chunked(l2r1_ref, ccl, 4)
+            rank = jnp.where((hit_widx & 1) == 0, r0, r1)
+            hit_row = jnp.where(
+                got, rank + _popcount_below(hit_word,
+                                            jnp.maximum(hit_bitc, 0)), -1)
+            hit_bit = jnp.full(shape, -1, jnp.int32)
+        else:
+            rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                      jnp.int32(0))
+            rstate = jax.lax.while_loop(round_cond, round_body, rstate)
+            hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
 
         hit_ref[:] = hit_s
         row_ref[:] = hit_row

@@ -136,6 +136,7 @@ def resolve_hits(scene, res, origin_w, dir_w):
     depth = jnp.where(hit, res.t, jnp.inf)
     return dict(
         hit=hit,
+        inst=inst,
         depth=depth,
         albedo=albedo,
         normal=jnp.where(hit[:, None], normal_w, 0.0),

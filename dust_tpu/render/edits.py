@@ -15,6 +15,14 @@ Pallas tables, packed attribute rows, material segment, AABB) refreshed
 in lockstep. When an edit outgrows the scene's padding (leaf rows, mask
 chunks, or the model's 25%-headroom material capacity) the refit falls
 back to a full consistent rebuild.
+
+Dense-GI note: the dense cache keys rows by (instance, leaf_row, face)
+and carries per-row albedo; an edit shifts the edited model's leaf-row
+order, so dense-mode callers should refresh their FrameState's cache
+albedo after a refit (``gi_cache.refresh_dense_albedo``) — radiance
+re-converges via the running mean, like the reference's hash going
+transiently stale on edits. A rebuild fallback changes the row count:
+rebuild the FrameState then.
 """
 
 from __future__ import annotations

@@ -255,6 +255,11 @@ def render_frame(
     origins = shard(origins)
     primary = trace(scene, origins, dirs, cam.near, cam.far, "precise")
     g = shade.resolve_hits(scene, primary, origins, dirs)
+    # Registered-material dispatch (render/materials.py): identity (zero
+    # traced ops) unless the scene carries non-palette instances.
+    from dust_tpu.render import materials as matlib
+    g, mat_emissive = matlib.apply_materials(
+        g, settings.instance_materials)
     hit = g["hit"]
 
     dirs_n = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -270,7 +275,7 @@ def render_frame(
     illum = jnp.zeros((n, 3))
 
     sun_dir = sky_state.direction
-    direct = jnp.zeros((n, 3))
+    direct = mat_emissive  # deterministic emission joins the direct channel
     if settings.contribution_direct:
         facing = (jnp.sum(normal * sun_dir, axis=-1) > 0.0) & hit
         shadow = trace(
@@ -282,7 +287,7 @@ def render_frame(
             1.0 - jnp.cos(sky_state.solar_radius)
         )
         ndotl = jnp.maximum(jnp.sum(normal * sun_dir, axis=-1), 0.0)
-        direct = jnp.where(
+        direct = direct + jnp.where(
             unoccluded[:, None], strength * ndotl[:, None], 0.0
         )
 

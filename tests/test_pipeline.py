@@ -265,3 +265,57 @@ def test_dense_cache_packed_roundtrip():
     assert not np.array(found)[1::2].any()
     np.testing.assert_array_equal(
         np.array(alb), alb0.astype(np.uint32).view(np.uint32))
+
+
+class TestMaterialSeam:
+    """Registered-material dispatch (render/materials.py ≙ the reference's
+    per-material-subset pipeline specialization, manager.rs:277-315)."""
+
+    def test_palette_only_is_identity(self):
+        from dust_tpu.render import materials as M
+        g = {"hit": jnp.ones(8, bool), "inst": jnp.zeros(8, jnp.int32),
+             "albedo": jnp.ones((8, 4))}
+        g2, em = M.apply_materials(g, (0,))
+        assert g2 is g  # zero traced ops
+        assert float(np.array(em).sum()) == 0.0
+
+    def test_emissive_instance_lights_up(self):
+        """Marking the teapot instance emissive adds deterministic
+        radiance on its pixels and leaves the castle untouched."""
+        import dataclasses
+        from dust_tpu.render import materials as M
+
+        M.register_material(1, M.EmissiveMaterial(strength=6.0))
+        vox = load_vox_scene(procgen.castle_scene_bytes())
+        tp = load_vox_scene(procgen.teapot_scene_bytes())
+        mid = max(vox.geometries) + 1
+        vox.geometries[mid] = tp.geometries[0]
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = (60.0, 70.0, 60.0)
+        from dust_tpu.vox.loader import VoxInstance
+        vox.instances.append(VoxInstance(model_id=mid, transform=t))
+        dev = build_device_scene(vox)
+
+        settings = RenderSettings(width=96, height=54, gi_cache="dense")
+        sky = bake_sky(settings.sunlight)
+        bn = load_blue_noise()
+        cs = cam.camera_settings(cam.look_at((150, 90, 180), (0, 30, 0)),
+                                 settings.camera.fov, settings.camera.near,
+                                 settings.camera.far, 96, 54)
+
+        def render(stg):
+            state = make_frame_state(stg, dev)
+            out, aux, _ = render_frame(dev, state, cs, sky,
+                                       bn.unitvec3_cosine, bn.scalar,
+                                       stg, tile=2048)
+            return np.array(out), np.array(aux["voxel_id"])
+
+        plain, vid = render(settings)
+        lit, _ = render(dataclasses.replace(
+            settings, instance_materials=(0, 1)))
+        tp_px = (vid & 0xFFFF) == 1  # instance 1 pixels
+        assert tp_px.sum() > 20
+        # Emissive pixels brighten; the rest of the frame is unchanged up
+        # to GI noise.
+        assert lit[tp_px].mean() > plain[tp_px].mean() + 0.02
+        np.testing.assert_allclose(lit[~tp_px], plain[~tp_px], atol=0.06)
