@@ -47,28 +47,35 @@ class SceneEditor:
         self.vox_scene = vox_scene
         self.device = device_scene
         self._model_ids = sorted(vox_scene.geometries)
-        # Editable voxel state per model: dense coords+palette from the
-        # current geometry (rebuilt trees own the edit state).
-        self._voxels: dict[int, dict[tuple[int, int, int], int]] = {}
+        # Editable voxel state per model: ARRAYS (coords (N,3) + palette
+        # idx (N,)) decoded vectorised from the flat pools, plus a small
+        # pending-edit overlay dict. The previous dict-of-tuples design
+        # cost ~0.7 s/refit in dict->array conversion and ~3 s at init in
+        # per-voxel Python loops; arrays make both a few ms.
+        self._coords: dict[int, np.ndarray] = {}
+        self._idx: dict[int, np.ndarray] = {}
+        self._pending: dict[int, dict[tuple[int, int, int], int | None]] = {}
         for mid in self._model_ids:
-            self._voxels[mid] = {}
             geo = vox_scene.geometries[mid]
             flat = geo.flat
             occ = flat.occupancy_u64()
-            mats = geo.materials
-            for row in range(flat.num_leaves):
-                base = flat.leaf_origin[row]
-                mask = int(occ[row])
-                ptr = int(flat.material_ptr[row])
-                k = 0
-                while mask:
-                    bit = (mask & -mask).bit_length() - 1
-                    mask &= mask - 1
-                    x = int(base[0]) + (bit >> 4)
-                    y = int(base[1]) + ((bit >> 2) & 3)
-                    z = int(base[2]) + (bit & 3)
-                    self._voxels[mid][(x, y, z)] = int(mats[ptr + k])
-                    k += 1
+            L = flat.num_leaves
+            if L:
+                bits = ((occ[:, None] >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(bool)        # (L, 64)
+                rank = np.cumsum(bits, axis=1) - 1           # within-leaf k
+                rows, bit = np.nonzero(bits)
+                off = np.stack([bit >> 4, (bit >> 2) & 3, bit & 3], 1)
+                coords = flat.leaf_origin[rows].astype(np.int64) + off
+                midx = geo.materials[
+                    flat.material_ptr[rows].astype(np.int64)
+                    + rank[rows, bit]].astype(np.uint8)
+            else:
+                coords = np.zeros((0, 3), np.int64)
+                midx = np.zeros((0,), np.uint8)
+            self._coords[mid] = coords
+            self._idx[mid] = midx
+            self._pending[mid] = {}
         self._dirty: set[int] = set()
         # Material-pool layout pinned at build time (splices must keep
         # other models' absolute pointers valid).
@@ -80,23 +87,47 @@ class SceneEditor:
     def set_voxel(self, model_id: int, coords, palette_idx: int | None) -> None:
         """Set (palette index) or clear (None) one voxel."""
         key = tuple(int(c) for c in coords)
-        if palette_idx is None:
-            self._voxels[model_id].pop(key, None)
-        else:
-            self._voxels[model_id][key] = int(palette_idx)
+        self._pending[model_id][key] = (
+            None if palette_idx is None else int(palette_idx))
         self._dirty.add(model_id)
 
     def set_voxels(self, model_id: int, coords: np.ndarray, palette_idx) -> None:
         """Bulk set; ``palette_idx`` scalar or per-voxel; None clears."""
         coords = np.asarray(coords, dtype=np.int64)
+        pend = self._pending[model_id]
         if palette_idx is None:
             for c in coords:
-                self._voxels[model_id].pop(tuple(int(v) for v in c), None)
+                pend[tuple(int(v) for v in c)] = None
         else:
             pis = np.broadcast_to(np.asarray(palette_idx), (len(coords),))
             for c, pi in zip(coords, pis):
-                self._voxels[model_id][tuple(int(v) for v in c)] = int(pi)
+                pend[tuple(int(v) for v in c)] = int(pi)
         self._dirty.add(model_id)
+
+    @staticmethod
+    def _enc(c: np.ndarray) -> np.ndarray:
+        return (c[:, 0].astype(np.int64) << 16) | (c[:, 1] << 8) | c[:, 2]
+
+    def _merge_pending(self, mid: int) -> None:
+        """Fold the overlay into the model arrays (vectorised: one
+        isin-mask + concat — O(N log P), a few ms for a 700k model)."""
+        pend = self._pending[mid]
+        if not pend:
+            return
+        pkeys = np.array([(x << 16) | (y << 8) | z
+                          for (x, y, z) in pend], np.int64)
+        vals = [v for v in pend.values()]
+        set_mask = np.array([v is not None for v in vals], bool)
+        base = self._coords[mid]
+        keep = ~np.isin(self._enc(base), pkeys) if len(base) else \
+            np.zeros(0, bool)
+        add_keys = pkeys[set_mask]
+        add = np.stack([(add_keys >> 16) & 0xFF, (add_keys >> 8) & 0xFF,
+                        add_keys & 0xFF], 1)
+        add_idx = np.array([v for v in vals if v is not None], np.uint8)
+        self._coords[mid] = np.concatenate([base[keep], add])
+        self._idx[mid] = np.concatenate([self._idx[mid][keep], add_idx])
+        pend.clear()
 
     def refit(self) -> DeviceScene:
         """Rebuild dirty models' geometry + reassemble the device scene."""
@@ -104,13 +135,9 @@ class SceneEditor:
             return self.device
 
         for mid in sorted(self._dirty):
-            vox = self._voxels[mid]
-            if vox:
-                coords = np.array(list(vox.keys()), dtype=np.int64)
-                idx = np.array(list(vox.values()), dtype=np.uint8)
-            else:
-                coords = np.zeros((0, 3), np.int64)
-                idx = np.zeros((0,), np.uint8)
+            self._merge_pending(mid)
+            coords = self._coords[mid]
+            idx = self._idx[mid]
             tree = VoxTree.from_voxels(coords)
             mats, block_ptr = collect_material_indices(coords, idx)
             geo_old = self.vox_scene.geometries[mid]
