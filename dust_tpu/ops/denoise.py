@@ -272,6 +272,8 @@ def _up2_both(x):
     k = jnp.concatenate(
         [k2b[:, :, None, None] * eye, k2n[:, :, None, None] * eye],
         axis=-1)                                       # (4,4,c,2c)
+    # (An explicit bf16 cast was measured neutral — XLA already runs the
+    # conv's operands in bf16 internally.)
     out = jax.lax.conv_general_dilated(
         x[None], k, window_strides=(1, 1), padding=((2, 2), (2, 2)),
         lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
