@@ -178,14 +178,19 @@ def main():
 
     # Per-frame ray budget: 4 full-res launches + 2 rays per GI-cache
     # patch (the reference's 2-per-surfel-pool-entry; dense mode patches
-    # every (instance, leaf, face) cell instead — count the actual rays).
+    # every VALID (instance, leaf, face) cell instead — count the actual
+    # rays: padded leaf rows are masked inactive and trace nothing).
     if settings.gi_cache == "dense":
-        from dust_tpu.ops.gi_cache import dense_rows
-        pool = dense_rows(scene)
+        valid_leaves = (np.asarray(scene.mask_lo)
+                        | np.asarray(scene.mask_hi)) != 0
+        patch_cells = int(valid_leaves.sum(axis=1)[
+            np.asarray(scene.inst_model, np.int64)].sum()) * 6
+    else:
+        patch_cells = pool
     # direct-only removes the AO/FG launches and the whole surfel pass
     # (CONTRIBUTION_* parity in render_frame).
     rays = (width * height * 2 if direct_only
-            else width * height * 4 + pool * 2)
+            else width * height * 4 + patch_cells * 2)
     mrays = rays / dt / 1e6
     kind = "primary+shadow" if args.config == "primary-shadow" else \
         ("1-bounce GI, 32Mi hash" if args.config == "hash-reference"

@@ -52,8 +52,9 @@ def luminance_histogram(radiance: jnp.ndarray, settings: ExposureSettings) -> jn
 def mean_bin(radiance: jnp.ndarray, settings: ExposureSettings) -> jnp.ndarray:
     """``sum(histogram * bin_index)`` without building the histogram:
     the index-weighted histogram total IS the sum of per-pixel bins
-    (exactly — integer reduction), so the auto-exposure chain reduces to
-    one ``jnp.sum`` over the bin image, skipping the 2M-element sort."""
+    (mathematically; the f32 reduction rounds past 2^24 just like the
+    histogram path did), so the auto-exposure chain reduces to one
+    ``jnp.sum`` over the bin image, skipping the 2M-element sort."""
     return jnp.sum(_bins(radiance, settings).astype(jnp.float32))
 
 

@@ -849,7 +849,11 @@ def trace_instance_pallas_2p(tables, origin, direction, t_min, t_max,
                              phase1_march: int = 48,
                              k_div: int = 8):
     """Two-phase straggler-decoupled trace (same contract as
-    :func:`trace_instance_pallas`, bit-identical results).
+    :func:`trace_instance_pallas`; identical results at saturating
+    budgets — phase 2 reuses the resume position as its ``s_min``, so in
+    rough mode a ray resumed exactly at a candidate block's entry plane
+    can diverge from the single-phase trace by an fp epsilon when the
+    phase-1 budget starves it mid-block).
 
     The kernel's grid is serial on the one TensorCore and every program
     runs to its slowest ray, so the per-tile lockstep max (3-5x the

@@ -87,6 +87,8 @@ class SceneEditor:
     def set_voxel(self, model_id: int, coords, palette_idx: int | None) -> None:
         """Set (palette index) or clear (None) one voxel."""
         key = tuple(int(c) for c in coords)
+        if not all(0 <= c < 256 for c in key):
+            raise IndexError(f"voxel coord out of range [0,256): {key}")
         self._pending[model_id][key] = (
             None if palette_idx is None else int(palette_idx))
         self._dirty.add(model_id)
@@ -94,6 +96,8 @@ class SceneEditor:
     def set_voxels(self, model_id: int, coords: np.ndarray, palette_idx) -> None:
         """Bulk set; ``palette_idx`` scalar or per-voxel; None clears."""
         coords = np.asarray(coords, dtype=np.int64)
+        if len(coords) and (coords.min() < 0 or coords.max() > 255):
+            raise IndexError("voxel coords out of range [0,256)")
         pend = self._pending[model_id]
         if palette_idx is None:
             for c in coords:
@@ -129,8 +133,32 @@ class SceneEditor:
         self._idx[mid] = np.concatenate([self._idx[mid][keep], add_idx])
         pend.clear()
 
-    def refit(self) -> DeviceScene:
-        """Rebuild dirty models' geometry + reassemble the device scene."""
+    def refit(self, frame_state=None):
+        """Rebuild dirty models' geometry + reassemble the device scene.
+
+        Pass the caller's ``FrameState`` to keep a dense GI cache
+        consistent through the refit: on the splice path the cache's
+        per-row albedo words are refreshed in place
+        (``gi_cache.refresh_dense_albedo`` — rows are keyed by
+        (instance, leaf_row, face) and an edit reorders leaf rows); on
+        the rebuild path the row count itself may change, so the cache
+        is re-created empty (radiance re-converges over frames, like the
+        reference's hash going stale on edits). Returns ``device`` when
+        called without a state, ``(device, new_state)`` with one.
+        """
+        if frame_state is None:
+            return self._refit()
+        device = self._refit()
+        from dust_tpu.ops import gi_cache as gilib
+        if isinstance(frame_state.gi, gilib.DenseGICache):
+            if frame_state.gi.table.shape[0] == gilib.dense_rows(device):
+                gi = gilib.refresh_dense_albedo(frame_state.gi, device)
+            else:  # rebuild changed the row count
+                gi = gilib.make_dense_gi_cache(device)
+            frame_state = frame_state._replace(gi=gi)
+        return device, frame_state
+
+    def _refit(self) -> DeviceScene:
         if not self._dirty:
             return self.device
 

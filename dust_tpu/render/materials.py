@@ -96,7 +96,13 @@ def apply_materials(g: dict, ids: tuple,
     (``RenderSettings.instance_materials`` — static so the set of
     materials specializes the trace, the manager.rs permutation
     property). Returns ``(g, emissive)``; with no non-palette instances
-    this is the identity and traces zero extra ops."""
+    this is the identity and traces zero extra ops.
+
+    The registry is read at TRACE time while jit caches key only on
+    ``ids``: re-registering a type with different parameters after a
+    frame has compiled keeps rendering the old material until jit caches
+    are cleared (``jax.clear_caches()``) — register materials before the
+    first frame."""
     n = g["hit"].shape[0]
     emissive = jnp.zeros((n, 3))
     if not ids or all(t == 0 for t in ids):

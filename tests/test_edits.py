@@ -102,6 +102,54 @@ class TestSceneEditor:
         ed = SceneEditor(vox, dev)
         assert ed.refit() is dev
 
+    def test_refit_refreshes_dense_gi_cache(self):
+        """Splice-path refit with a FrameState must refresh the dense GI
+        cache's per-row albedo (rows are keyed by leaf-row order, which
+        the edit shifts) while keeping accumulated radiance."""
+        from dust_tpu.config import RenderSettings
+        from dust_tpu.ops import gi_cache as gilib
+        from dust_tpu.render.pipeline import make_frame_state
+
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        settings = RenderSettings(width=64, height=32, gi_cache="dense")
+        state = make_frame_state(settings, dev)
+        # Accumulate one radiance sample in every row.
+        ones = jnp.ones((state.gi.table.shape[0], 3))
+        state = state._replace(
+            gi=gilib.dense_update(state.gi, ones,
+                                  jnp.ones(ones.shape[0], bool)))
+
+        ed.set_voxel(0, (0, 0, 0), palette_idx=7)  # new leaf at row 0
+        dev2, state2 = ed.refit(state)
+        assert ed.last_refit_mode == "splice"
+        # Albedo words must match a freshly-built cache for the new scene...
+        fresh = gilib.make_dense_gi_cache(dev2)
+        np.testing.assert_array_equal(np.array(state2.gi.table[:, 2]),
+                                      np.array(fresh.table[:, 2]))
+        # ...and the accumulated radiance survives the splice path.
+        assert float(jnp.max(state2.gi.count)) > 0.0
+
+    def test_rebuild_refit_resizes_dense_gi_cache(self):
+        from dust_tpu.config import RenderSettings
+        from dust_tpu.ops import gi_cache as gilib
+        from dust_tpu.render.pipeline import make_frame_state
+
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        settings = RenderSettings(width=64, height=32, gi_cache="dense")
+        state = make_frame_state(settings, dev)
+        size = vox.geometries[0].size
+        xs, ys, zs = np.meshgrid(np.arange(0, size[0], 2), np.arange(4),
+                                 np.arange(0, size[2], 2), indexing="ij")
+        slab = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], 1)
+        ed.set_voxels(0, slab, palette_idx=4)
+        dev2, state2 = ed.refit(state)
+        assert ed.last_refit_mode == "rebuild"
+        assert state2.gi.table.shape[0] == gilib.dense_rows(dev2)
+
 
 class TestEditShadingConsistency:
     def test_edit_updates_all_derived_structures(self):
