@@ -46,11 +46,17 @@ def main():
                     "(reference scale: 1<<25 = 32Mi entries)")
     ap.add_argument(
         "--config", default=None,
-        choices=["gi", "primary-shadow", "gi-4k", "hash-reference"],
-        help="BASELINE.md workload presets: gi = the headline castle "
-        "1080p 1-bounce-GI run (default); primary-shadow = direct "
-        "lighting only; gi-4k = 3840x2160; hash-reference = the "
-        "reference's own GI-cache scale (32Mi-entry hash, 720x480 pool)")
+        choices=["gi", "primary-shadow", "gi-4k", "hash-reference",
+                 "stress"],
+        help="BASELINE.md workload presets: gi = the headline "
+        "castle+teapot 1080p 1-bounce-GI run (default); primary-shadow "
+        "= direct lighting only; gi-4k = 3840x2160; hash-reference = "
+        "the reference's own GI-cache scale (32Mi-entry hash, 720x480 "
+        "pool); stress = 3x3 castle grid + 2 teapots (11 instances, "
+        "~6.5M instanced voxels)")
+    ap.add_argument("--no-teapot", action="store_true",
+                    help="drop the animated teapot (castle only — the "
+                    "round-1/2 workload, for A/B against old numbers)")
     args = ap.parse_args()
     if args.config == "gi-4k":
         args.width, args.height = args.width or 3840, args.height or 2160
@@ -104,25 +110,40 @@ def main():
         contribution_secondary_skylight=not direct_only,
         contribution_secondary_sunlight=not direct_only,
     )
-    scene = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
+    # The canonical frame is castle + ANIMATED teapot with a per-frame
+    # transform update (examples/castle.rs:107-148); --no-teapot keeps
+    # the old castle-only workload for A/B.
+    if args.config == "stress":
+        vox_scene, anim_idx = procgen.stress_scene()
+    else:
+        vox_scene = load_vox_scene(procgen.castle_scene_bytes())
+        anim_idx = None if args.no_teapot else procgen.add_teapot(vox_scene)
+    scene = build_device_scene(vox_scene)
     state = make_frame_state(settings, scene)
     sky = bake_sky(settings.sunlight)
     bn = load_blue_noise()
+    base_o2w = np.array(scene.obj_to_world)
     # The reference's canonical camera pose (examples/castle.rs:126-128).
-    c2w = cameralib.look_at((122.0, 300.61, 54.45), (0.0, 0.0, 0.0))
+    eye = (260.0, 420.0, 180.0) if args.config == "stress" else \
+        (122.0, 300.61, 54.45)
+    c2w = cameralib.look_at(eye, (0.0, 0.0, 0.0))
     cs = cameralib.camera_settings(
         c2w, settings.camera.fov, settings.camera.near,
         settings.camera.far, width, height,
     )
 
-    def step(state):
+    import jax.numpy as jnp
+
+    def step(state, f=0):
+        sc = scene
+        if anim_idx is not None:
+            o2w = procgen.teapot_motion(base_o2w, anim_idx, f)
+            sc = scene.with_transforms(jnp.asarray(o2w))
         out, _aux, state = render_frame(
-            scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+            sc, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
             settings, tile=args.tile, return_aux=False,
         )
         return out, state
-
-    import jax.numpy as jnp
 
     def sync(x):
         # On the experimental axon platform block_until_ready is a no-op
@@ -144,9 +165,13 @@ def main():
         settings = dataclasses.replace(settings, traversal_backend="jnp")
         state = make_frame_state(settings, scene)
 
-        def step(state, _settings=settings):
+        def step(state, f=0, _settings=settings):
+            sc = scene
+            if anim_idx is not None:
+                o2w = procgen.teapot_motion(base_o2w, anim_idx, f)
+                sc = scene.with_transforms(jnp.asarray(o2w))
             out, _aux, state = render_frame(
-                scene, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+                sc, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
                 _settings, tile=args.tile, return_aux=False,
             )
             return out, state
@@ -167,8 +192,8 @@ def main():
     measured = frames
     while True:
         t0 = time.perf_counter()
-        for _ in range(measured):
-            out, state = step(state)
+        for k in range(measured):
+            out, state = step(state, k)
         sync(out)
         elapsed = time.perf_counter() - t0
         if elapsed > max(12.0 * roundtrip, 0.25) or measured >= 64 * frames:
@@ -185,6 +210,13 @@ def main():
                         | np.asarray(scene.mask_hi)) != 0
         patch_cells = int(valid_leaves.sum(axis=1)[
             np.asarray(scene.inst_model, np.int64)].sum()) * 6
+        from dust_tpu.ops.gi_cache import dense_rows
+        total_rows = dense_rows(scene)
+        budget = settings.surfels.dense_refresh_budget
+        if budget and total_rows > budget:
+            # Budgeted refresh: the per-frame slice carries the valid
+            # fraction of `budget` rows (padding lanes trace nothing).
+            patch_cells = int(budget * patch_cells / total_rows)
     else:
         patch_cells = pool
     # direct-only removes the AO/FG launches and the whole surfel pass
@@ -195,8 +227,10 @@ def main():
     kind = "primary+shadow" if args.config == "primary-shadow" else \
         ("1-bounce GI, 32Mi hash" if args.config == "hash-reference"
          else "1-bounce GI")
+    workload = ("3x3 castle grid + 2 teapots" if args.config == "stress"
+                else "castle" if args.no_teapot else "castle+teapot")
     result = {
-        "metric": f"Mrays/s/chip (castle {width}x{height}, {kind})",
+        "metric": f"Mrays/s/chip ({workload} {width}x{height}, {kind})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 500.0, 4),

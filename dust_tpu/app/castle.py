@@ -65,7 +65,7 @@ def main(argv=None):
     from dust_tpu.utils import profiling
     from dust_tpu.utils.profiling import FrameDiagnostics
     from dust_tpu.vox import procgen
-    from dust_tpu.vox.loader import load_vox_scene, VoxInstance
+    from dust_tpu.vox.loader import load_vox_scene
 
     settings = RenderSettings(
         width=args.width, height=args.height,
@@ -81,17 +81,7 @@ def main(argv=None):
         data = procgen.castle_scene_bytes()
     vox_scene = load_vox_scene(data)
 
-    teapot_inst = None
-    if args.teapot:
-        tp = load_vox_scene(procgen.teapot_scene_bytes())
-        base = max(vox_scene.geometries) + 1
-        for mid, geo in tp.geometries.items():
-            vox_scene.geometries[base + mid] = geo
-        for inst in tp.instances:
-            t = inst.transform.copy()
-            t[:3, 3] += np.asarray([60.0, 40.0, 0.0], np.float32)
-            teapot_inst = VoxInstance(base + inst.model_id, t, name="teapot")
-            vox_scene.instances.append(teapot_inst)
+    anim_idx = procgen.add_teapot(vox_scene) if args.teapot else None
 
     scene = build_device_scene(vox_scene)
     state = make_frame_state(settings, scene)
@@ -137,15 +127,9 @@ def main(argv=None):
             settings.camera.far, args.width, args.height,
         )
 
-        if teapot_inst is not None:
+        if anim_idx is not None:
             # teapot_move_system: bob + spin.
-            t = f / 30.0
-            o2w = base_o2w.copy()
-            c, s = math.cos(t), math.sin(t)
-            rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
-            i = len(vox_scene.instances) - 1
-            o2w[i, :3, :3] = rot @ base_o2w[i, :3, :3]
-            o2w[i, :3, 3] = base_o2w[i, :3, 3] + [0, 5.0 * math.sin(t * 2.0), 0]
+            o2w = procgen.teapot_motion(base_o2w, anim_idx, f)
             scene = scene.with_transforms(jnp.asarray(o2w))
 
         out, aux, state = render_frame(

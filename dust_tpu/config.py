@@ -117,6 +117,15 @@ class SurfelSettings:
 
     pool_size: int = 720 * 480
 
+    # Dense-GI refresh budget: at most this many (instance, leaf, face)
+    # cells are patched per frame — the reference's own fixed-pool
+    # semantics (720*480 surfels regardless of scene size). Scenes whose
+    # cell count exceeds the budget refresh round-robin slices over
+    # frames (contiguous dynamic slices — still scatter-free), so the
+    # per-frame ray cost stays O(budget) instead of O(instances × leaves).
+    # None/0 = always refresh every cell.
+    dense_refresh_budget: int = 720 * 480
+
 
 @dataclasses.dataclass(frozen=True)
 class CameraConfig:

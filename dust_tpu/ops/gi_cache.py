@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "DenseGICache", "make_dense_gi_cache", "dense_rows", "dense_index",
-    "dense_get", "dense_update", "MAX_SAMPLE_COUNT",
+    "dense_get", "dense_update", "dense_update_slice", "MAX_SAMPLE_COUNT",
 ]
 
 MAX_SAMPLE_COUNT = 404  # spatial_hash.glsl:179
@@ -138,6 +138,21 @@ def dense_update(cache: DenseGICache, value: jnp.ndarray,
                   old),
         jnp.int32)
     return DenseGICache(table=table)
+
+
+def dense_update_slice(cache: DenseGICache, start: jnp.ndarray,
+                       value: jnp.ndarray,
+                       valid: jnp.ndarray) -> DenseGICache:
+    """Running-mean insert over the contiguous row window
+    ``[start, start+len(value))`` — the budgeted-refresh path
+    (``SurfelSettings.dense_refresh_budget``): a dynamic slice in, the
+    elementwise :func:`dense_update`, a dynamic slice back out. Still no
+    scatter anywhere."""
+    rows = jax.lax.dynamic_slice(cache.table, (start, 0),
+                                 (value.shape[0], 3))
+    sub = dense_update(DenseGICache(table=rows), value, valid)
+    return DenseGICache(table=jax.lax.dynamic_update_slice(
+        cache.table, sub.table, (start, 0)))
 
 
 def refresh_dense_albedo(cache: DenseGICache, scene) -> DenseGICache:

@@ -142,14 +142,16 @@ def build_pallas_tables(flat) -> PallasTables:
 # In-kernel helpers
 # ---------------------------------------------------------------------------
 
-def _gather_chunked(tab_ref, idx, nchunks, gate=False):
-    """Gather int32 ``tab_ref[idx]`` where ``tab_ref`` is a VMEM ref of
-    shape (nchunks, 8, 128) and idx (R, 128) in [0, nchunks*1024). Built
-    from lane shuffles + sublane selects; chunks no ray touches are
-    skipped via a scalar cond (coherent ray tiles usually touch 1-2
-    chunks). The chunk loop is a fori_loop with a dynamic *ref* index so
-    compiled code size is O(1) in the table size (Mosaic has no
-    dynamic_slice on values, but refs index dynamically)."""
+def _gather_chunked(tab_ref, idx, nchunks, gate=False, base=0):
+    """Gather int32 ``tab_ref[base*1024 + idx]`` where ``tab_ref`` is a
+    VMEM ref of shape (>=base+nchunks, 8, 128) and idx (R, 128) in
+    [0, nchunks*1024). Built from lane shuffles + sublane selects; chunks
+    no ray touches are skipped via a scalar cond (coherent ray tiles
+    usually touch 1-2 chunks). The chunk loop is a fori_loop with a
+    dynamic *ref* index so compiled code size is O(1) in the table size
+    (Mosaic has no dynamic_slice on values, but refs index dynamically).
+    ``base`` (chunk units; may be a traced scalar) selects a model's
+    table slice out of a stacked multi-model array."""
     shape = idx.shape
     chunk = idx >> 10
     row = (idx >> 7) & 7
@@ -157,7 +159,7 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=False):
 
     def one_chunk(c):
         """All indices in chunk ``c``: 8 sublane selects, no chunk test."""
-        t = tab_ref[c]
+        t = tab_ref[base + c]
         out = jnp.zeros(shape, jnp.int32)
         for r in range(8):
             trow = jnp.broadcast_to(t[r : r + 1, :], shape)
@@ -174,7 +176,7 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=False):
         # shuffles on this hardware (measured ~2800 vs ~400 cycles/iter).
         out = jnp.zeros(shape, jnp.int32)
         for c in range(nchunks):
-            t = tab_ref[c]
+            t = tab_ref[base + c]
             for r in range(8):
                 trow = jnp.broadcast_to(t[r : r + 1, :], shape)
                 cand = jnp.take_along_axis(trow, lane, axis=1)
@@ -186,7 +188,7 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=False):
         # shuffles; wins when the tile touches few of many chunks).
         def chunk_body(c, out):
             def do_chunk(out):
-                t = tab_ref[c]
+                t = tab_ref[base + c]
                 res = out
                 for r in range(8):
                     trow = jnp.broadcast_to(t[r : r + 1, :], shape)
@@ -200,7 +202,7 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=False):
     def general():
         def chunk_body(c, out):
             def do_chunk(out):
-                t = tab_ref[c]
+                t = tab_ref[base + c]
                 res = out
                 for r in range(8):
                     trow = jnp.broadcast_to(t[r : r + 1, :], shape)
@@ -263,269 +265,391 @@ def _slab3(ox, oy, oz, rx, ry, rz, mnx, mny, mnz, mxx, mxy, mxz):
     return lo, hi
 
 
-def _make_kernel(mask_chunks: int, mode: str, rounds: int,
-                 march_cap: int, micro_cap: int, want_resume: bool = False):
-    """Build the kernel body (static configuration baked in).
+def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+                   mlo_ref, mhi_ref,
+                   ox, oy, oz, dx, dy, dz, s_min, s_stop,
+                   mask_chunks: int, mode: str, rounds: int,
+                   march_cap: int, micro_cap: int,
+                   s_ao=None, l2_base=0, mask_base=0):
+    """The traversal loop on VALUES + table refs — shared by the
+    single-instance kernel (:func:`_make_kernel`) and the batched
+    multi-instance scene kernel (:func:`_make_scene_kernel`).
+
+    ``l1t`` is the model's (8,128) packed L1 field as a value; the l2 /
+    mask tables are VMEM refs whose leading chunk axis may stack several
+    models — ``l2_base``/``mask_base`` (chunk units, possibly traced
+    scalars) select the model's slice.
+
+    Returns ``(ao_t, fg_t, fg_row)`` in fused ``"ao_fg"`` mode, else
+    ``(hit_s, hit_row, hit_bit, s_resume, active_i32)``.
 
     ``mode="ao_fg"`` fuses the AO and final-gather passes into ONE
     traversal (they continue the same ray: ambient_occlusion.rgen +
     final_gather.rgen share the cosine sample): below ``s_ao`` the
     ao_threshold semantics apply (entry-report quirk included), past it
-    the rough semantics (hit = block entry). The kernel then takes one
-    extra ray input (s_ao) and returns (ao_t, fg_t, fg_row)."""
+    the rough semantics (hit = block entry)."""
     fused = mode == "ao_fg"
+    shape = ox.shape
+    rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
+    sx = jnp.where(dx > 0, 1, -1).astype(jnp.int32)
+    sy = jnp.where(dy > 0, 1, -1).astype(jnp.int32)
+    sz = jnp.where(dz > 0, 1, -1).astype(jnp.int32)
+    p01x = (dx > 0).astype(jnp.float32)
+    p01y = (dy > 0).astype(jnp.float32)
+    p01z = (dz > 0).astype(jnp.float32)
 
-    def kernel(*refs):
-        (l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
-         mlo_ref, mhi_ref,
-         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         smin_ref) = refs[:14]
-        if fused:
-            sao_ref, smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
-        elif want_resume:
-            (smax_ref, hit_ref, row_ref, bit_ref,
-             sres_ref, act_ref) = refs[14:]
-        else:
-            smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
-        shape = ox_ref.shape
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        s_min, s_stop = smin_ref[:], smax_ref[:]
-        s_ao = sao_ref[:] if fused else None
+    zero = jnp.zeros(shape, jnp.float32)
+    g0, g1 = _slab3(ox, oy, oz, rx, ry, rz,
+                    zero, zero, zero, zero + 256.0, zero + 256.0, zero + 256.0)
+    s_end = jnp.minimum(g1, s_stop)
+    s = jnp.maximum(g0 + _STEP_EPS, s_min)
+    active = (g0 < g1) & (s < s_end)
 
-        rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
-        sx = jnp.where(dx > 0, 1, -1).astype(jnp.int32)
-        sy = jnp.where(dy > 0, 1, -1).astype(jnp.int32)
-        sz = jnp.where(dz > 0, 1, -1).astype(jnp.int32)
-        p01x = (dx > 0).astype(jnp.float32)
-        p01y = (dy > 0).astype(jnp.float32)
-        p01z = (dz > 0).astype(jnp.float32)
+    hit_s = jnp.full(shape, jnp.inf, jnp.float32)
+    hit_row = jnp.full(shape, -1, jnp.int32)
+    hit_bit = jnp.full(shape, -1, jnp.int32)
 
-        zero = jnp.zeros(shape, jnp.float32)
-        g0, g1 = _slab3(ox, oy, oz, rx, ry, rz,
-                        zero, zero, zero, zero + 256.0, zero + 256.0, zero + 256.0)
-        s_end = jnp.minimum(g1, s_stop)
-        s = jnp.maximum(g0 + _STEP_EPS, s_min)
-        active = (g0 < g1) & (s < s_end)
+    def march(active, s):
+        """Walk L1/L2 until every active ray freezes on an occupied
+        block or dies. Loop-carried masks are int32 0/1 — Mosaic
+        cannot yield i1 vectors from scf loops.
 
-        hit_s = jnp.full(shape, jnp.inf, jnp.float32)
-        hit_row = jnp.full(shape, -1, jnp.int32)
-        hit_bit = jnp.full(shape, -1, jnp.int32)
+        The two L2 words of the L1 cell a ray is inside are carried in
+        registers (cell-grouped word layout); the expensive chunked
+        gather runs only on iterations where some ray enters a new
+        occupied cell.
 
-        l1t = l1_ref[:]  # packed L1 skip field; tiny, loaded once
+        Returns (active, s, cand, w0, w1): candidate block/word
+        details are NOT carried through the loop — a frozen ray's s
+        stays at its freeze sample, so :func:`cand_info` recomputes
+        them once post-march (bit-identical expressions). That keeps
+        the loop at 7 carried (R,128) arrays instead of 13 (the
+        vector register file spills past ~13) and drops 7 masked
+        selects per iteration."""
+        cand = jnp.zeros(shape, jnp.bool_)
+        w0 = jnp.zeros(shape, jnp.int32)
+        w1 = jnp.zeros(shape, jnp.int32)
+        reg_cl = jnp.full(shape, -1, jnp.int32)
 
-        def march(active, s):
-            """Walk L1/L2 until every active ray freezes on an occupied
-            block or dies. Loop-carried masks are int32 0/1 — Mosaic
-            cannot yield i1 vectors from scf loops.
+        def cond(st):
+            active_i, s, cand_i, i = st[0], st[1], st[2], st[-1]
+            return jnp.any((active_i != 0) & (cand_i == 0)) & (i < march_cap)
 
-            The two L2 words of the L1 cell a ray is inside are carried in
-            registers (cell-grouped word layout); the expensive chunked
-            gather runs only on iterations where some ray enters a new
-            occupied cell.
-
-            Returns (active, s, cand, w0, w1): candidate block/word
-            details are NOT carried through the loop — a frozen ray's s
-            stays at its freeze sample, so :func:`cand_info` recomputes
-            them once post-march (bit-identical expressions). That keeps
-            the loop at 7 carried (R,128) arrays instead of 13 (the
-            vector register file spills past ~13) and drops 7 masked
-            selects per iteration."""
-            cand = jnp.zeros(shape, jnp.bool_)
-            w0 = jnp.zeros(shape, jnp.int32)
-            w1 = jnp.zeros(shape, jnp.int32)
-            reg_cl = jnp.full(shape, -1, jnp.int32)
-
-            def cond(st):
-                active_i, s, cand_i, i = st[0], st[1], st[2], st[-1]
-                return jnp.any((active_i != 0) & (cand_i == 0)) & (i < march_cap)
-
-            def body(st):
-                (active_i, s, cand_i, w0, w1, reg_cl, i) = st
-                active = active_i != 0
-                cand = cand_i != 0
-                stepping = active & ~cand
-                se = s + _STEP_EPS
-                px = ox + dx * se
-                py = oy + dy * se
-                pz = oz + dz * se
-
-                # --- L1 skip-field test (16-voxel cells) ---------------
-                c1x = jnp.clip(jnp.floor(px * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
-                c1y = jnp.clip(jnp.floor(py * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
-                c1z = jnp.clip(jnp.floor(pz * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
-                # In-box test: s_end <= g1 (the 256-box exit), so a sample
-                # at se < s_end is inside up to the eps sliver the clips
-                # absorb — one compare replaces the six-plane test.
-                inb = se < s_end
-                cl = (c1x * 16 + c1y) * 16 + c1z
-                dist = _gather_l1_dist(l1t, cl)
-                occ1 = (dist == 0) & inb & stepping
-
-                # --- refresh cell-word registers on cell entry. Gated:
-                # the 2x4-chunk gather (~1300 cyc) fires on well under
-                # half the iterations for coherent tiles, beating the
-                # ~120-cycle scalar sync of the gate.
-                need = occ1 & (cl != reg_cl)
-
-                def refresh(args):
-                    w0, w1, reg_cl = args
-                    clm = jnp.where(need, cl, 0)
-                    return (jnp.where(need, _gather_chunked(l2w0_ref, clm, 4), w0),
-                            jnp.where(need, _gather_chunked(l2w1_ref, clm, 4), w1),
-                            jnp.where(need, cl, reg_cl))
-
-                w0, w1, reg_cl = jax.lax.cond(
-                    jnp.any(need), refresh, lambda a: a, (w0, w1, reg_cl))
-
-                # --- L2 test from registers ----------------------------
-                bx = jnp.clip(jnp.floor(px * 0.25).astype(jnp.int32), 0, 63)
-                by = jnp.clip(jnp.floor(py * 0.25).astype(jnp.int32), 0, 63)
-                bz = jnp.clip(jnp.floor(pz * 0.25).astype(jnp.int32), 0, 63)
-                local = ((bx & 3) << 4) | ((by & 3) << 2) | (bz & 3)
-                word = jnp.where(local < 32, w0, w1)
-                occ2 = (_bit_test_i32(word, local & 31) != 0) & occ1
-
-                # Freeze candidates: s stays at the freeze sample, so all
-                # block/word details are recoverable post-march.
-                newly = occ2 & ~cand
-                cand = cand | newly
-
-                # Advance: occupied cell -> one block; empty cell with
-                # chebyshev distance d -> exit the whole (2d-1)³ empty box.
-                # Only the EXIT planes matter here (the sample point is
-                # inside the box by construction), so instead of a full
-                # 6-plane slab test this computes one plane per axis —
-                # the face in the direction of travel (p01 selects it).
-                df = jnp.maximum(dist, 1).astype(jnp.float32)
-                fx = jnp.where(occ1, bx.astype(jnp.float32) * 4.0,
-                               (c1x.astype(jnp.float32) - (df - 1.0)) * 16.0)
-                fy = jnp.where(occ1, by.astype(jnp.float32) * 4.0,
-                               (c1y.astype(jnp.float32) - (df - 1.0)) * 16.0)
-                fz = jnp.where(occ1, bz.astype(jnp.float32) * 4.0,
-                               (c1z.astype(jnp.float32) - (df - 1.0)) * 16.0)
-                wsize = jnp.where(occ1, 4.0, (2.0 * df - 1.0) * 16.0)
-                # abs() covers both signs AND zero directions: for d<0 the
-                # product is positive anyway; for d≈0 (r = ±1e20 with the
-                # sample inside the box) it flips -huge to +huge — matching
-                # the old full-slab behavior without any loop-carried guard.
-                ex = jnp.abs((fx + p01x * wsize - ox) * rx)
-                ey = jnp.abs((fy + p01y * wsize - oy) * ry)
-                ez = jnp.abs((fz + p01z * wsize - oz) * rz)
-                s_exit = jnp.minimum(jnp.minimum(ex, ey), ez)
-                s_next = jnp.maximum(s_exit, s + _STEP_EPS)
-                advance = stepping & ~newly
-                s = jnp.where(advance, s_next, s)
-                active = active & ~(stepping & (s >= s_end) & ~newly)
-                return (active.astype(jnp.int32), s, cand.astype(jnp.int32),
-                        w0, w1, reg_cl, i + jnp.int32(1))
-
-            st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
-                  w0, w1, reg_cl, jnp.int32(0))
-            # 2x unroll: the while cond is a vector->scalar sync (~120
-            # cycles); frozen/dead rays are masked no-ops so running one
-            # extra step is harmless.
-            st = jax.lax.while_loop(cond, lambda st: body(body(st)), st)
-            return st[0] != 0, st[1], st[2] != 0, st[3], st[4]
-
-        def cand_info(s, w0, w1):
-            """Candidate block/word details for frozen rays, recomputed
-            from the freeze sample (the exact expressions march used, so
-            the values are bit-identical to the old loop-carried ones)."""
+        def body(st):
+            (active_i, s, cand_i, w0, w1, reg_cl, i) = st
+            active = active_i != 0
+            cand = cand_i != 0
+            stepping = active & ~cand
             se = s + _STEP_EPS
             px = ox + dx * se
             py = oy + dy * se
             pz = oz + dz * se
+
+            # --- L1 skip-field test (16-voxel cells) ---------------
             c1x = jnp.clip(jnp.floor(px * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
             c1y = jnp.clip(jnp.floor(py * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
             c1z = jnp.clip(jnp.floor(pz * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
+            # In-box test: s_end <= g1 (the 256-box exit), so a sample
+            # at se < s_end is inside up to the eps sliver the clips
+            # absorb — one compare replaces the six-plane test.
+            inb = se < s_end
             cl = (c1x * 16 + c1y) * 16 + c1z
+            dist = _gather_l1_dist(l1t, cl)
+            occ1 = (dist == 0) & inb & stepping
+
+            # --- refresh cell-word registers on cell entry. Gated:
+            # the 2x4-chunk gather (~1300 cyc) fires on well under
+            # half the iterations for coherent tiles, beating the
+            # ~120-cycle scalar sync of the gate.
+            need = occ1 & (cl != reg_cl)
+
+            def refresh(args):
+                w0, w1, reg_cl = args
+                clm = jnp.where(need, cl, 0)
+                return (jnp.where(need, _gather_chunked(l2w0_ref, clm, 4, base=l2_base), w0),
+                        jnp.where(need, _gather_chunked(l2w1_ref, clm, 4, base=l2_base), w1),
+                        jnp.where(need, cl, reg_cl))
+
+            w0, w1, reg_cl = jax.lax.cond(
+                jnp.any(need), refresh, lambda a: a, (w0, w1, reg_cl))
+
+            # --- L2 test from registers ----------------------------
             bx = jnp.clip(jnp.floor(px * 0.25).astype(jnp.int32), 0, 63)
             by = jnp.clip(jnp.floor(py * 0.25).astype(jnp.int32), 0, 63)
             bz = jnp.clip(jnp.floor(pz * 0.25).astype(jnp.int32), 0, 63)
             local = ((bx & 3) << 4) | ((by & 3) << 2) | (bz & 3)
             word = jnp.where(local < 32, w0, w1)
-            cwidx = cl * 2 + (local >> 5)
-            cbit = local & 31
-            return word, cwidx, cbit, bx, by, bz
+            occ2 = (_bit_test_i32(word, local & 31) != 0) & occ1
 
-        def round_body_rough(rstate):
-            """rough.rint: hit at the block entry; entries before s_min
-            are rejected and skipped. The leaf row is NOT resolved here:
-            a rough freeze is final, so the round stores (word, widx,
-            bit) and ONE rank gather after the outer loop replaces the
-            2x4-chunk gathers every round would pay."""
-            active_i, s, hit_s, hit_widx, hit_bitc, hit_word, rnd = rstate
-            active = active_i != 0
-            active, s, cand, w0, w1 = march(active, s)
-            cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
+            # Freeze candidates: s stays at the freeze sample, so all
+            # block/word details are recoverable post-march.
+            newly = occ2 & ~cand
+            cand = cand | newly
 
-            fx = cbx.astype(jnp.float32) * 4.0
-            fy = cby.astype(jnp.float32) * 4.0
-            fz = cbz.astype(jnp.float32) * 4.0
-            blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
-                                     fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+            # Advance: occupied cell -> one block; empty cell with
+            # chebyshev distance d -> exit the whole (2d-1)³ empty box.
+            # Only the EXIT planes matter here (the sample point is
+            # inside the box by construction), so instead of a full
+            # 6-plane slab test this computes one plane per axis —
+            # the face in the direction of travel (p01 selects it).
+            df = jnp.maximum(dist, 1).astype(jnp.float32)
+            fx = jnp.where(occ1, bx.astype(jnp.float32) * 4.0,
+                           (c1x.astype(jnp.float32) - (df - 1.0)) * 16.0)
+            fy = jnp.where(occ1, by.astype(jnp.float32) * 4.0,
+                           (c1y.astype(jnp.float32) - (df - 1.0)) * 16.0)
+            fz = jnp.where(occ1, bz.astype(jnp.float32) * 4.0,
+                           (c1z.astype(jnp.float32) - (df - 1.0)) * 16.0)
+            wsize = jnp.where(occ1, 4.0, (2.0 * df - 1.0) * 16.0)
+            # abs() covers both signs AND zero directions: for d<0 the
+            # product is positive anyway; for d≈0 (r = ±1e20 with the
+            # sample inside the box) it flips -huge to +huge — matching
+            # the old full-slab behavior without any loop-carried guard.
+            ex = jnp.abs((fx + p01x * wsize - ox) * rx)
+            ey = jnp.abs((fy + p01y * wsize - oy) * ry)
+            ez = jnp.abs((fz + p01z * wsize - oz) * rz)
+            s_exit = jnp.minimum(jnp.minimum(ex, ey), ez)
+            s_next = jnp.maximum(s_exit, s + _STEP_EPS)
+            advance = stepping & ~newly
+            s = jnp.where(advance, s_next, s)
+            active = active & ~(stepping & (s >= s_end) & ~newly)
+            return (active.astype(jnp.int32), s, cand.astype(jnp.int32),
+                    w0, w1, reg_cl, i + jnp.int32(1))
 
-            ok = cand & active & (blk_in >= s_min) & (blk_in <= s_end)
-            hit_s = jnp.where(ok, jnp.maximum(blk_in, 0.0), hit_s)
-            hit_widx = jnp.where(ok, cwidx, hit_widx)
-            hit_bitc = jnp.where(ok, cbit, hit_bitc)
-            hit_word = jnp.where(ok, cword, hit_word)
+        st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
+              w0, w1, reg_cl, jnp.int32(0))
+        # 2x unroll: the while cond is a vector->scalar sync (~120
+        # cycles); frozen/dead rays are masked no-ops so running one
+        # extra step is harmless.
+        st = jax.lax.while_loop(cond, lambda st: body(body(st)), st)
+        return st[0] != 0, st[1], st[2] != 0, st[3], st[4]
+
+    def cand_info(s, w0, w1):
+        """Candidate block/word details for frozen rays, recomputed
+        from the freeze sample (the exact expressions march used, so
+        the values are bit-identical to the old loop-carried ones)."""
+        se = s + _STEP_EPS
+        px = ox + dx * se
+        py = oy + dy * se
+        pz = oz + dz * se
+        c1x = jnp.clip(jnp.floor(px * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
+        c1y = jnp.clip(jnp.floor(py * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
+        c1z = jnp.clip(jnp.floor(pz * (1.0 / 16.0)).astype(jnp.int32), 0, 15)
+        cl = (c1x * 16 + c1y) * 16 + c1z
+        bx = jnp.clip(jnp.floor(px * 0.25).astype(jnp.int32), 0, 63)
+        by = jnp.clip(jnp.floor(py * 0.25).astype(jnp.int32), 0, 63)
+        bz = jnp.clip(jnp.floor(pz * 0.25).astype(jnp.int32), 0, 63)
+        local = ((bx & 3) << 4) | ((by & 3) << 2) | (bz & 3)
+        word = jnp.where(local < 32, w0, w1)
+        cwidx = cl * 2 + (local >> 5)
+        cbit = local & 31
+        return word, cwidx, cbit, bx, by, bz
+
+    def round_body_rough(rstate):
+        """rough.rint: hit at the block entry; entries before s_min
+        are rejected and skipped. The leaf row is NOT resolved here:
+        a rough freeze is final, so the round stores (word, widx,
+        bit) and ONE rank gather after the outer loop replaces the
+        2x4-chunk gathers every round would pay."""
+        active_i, s, hit_s, hit_widx, hit_bitc, hit_word, rnd = rstate
+        active = active_i != 0
+        active, s, cand, w0, w1 = march(active, s)
+        cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
+
+        fx = cbx.astype(jnp.float32) * 4.0
+        fy = cby.astype(jnp.float32) * 4.0
+        fz = cbz.astype(jnp.float32) * 4.0
+        blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
+                                 fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+
+        ok = cand & active & (blk_in >= s_min) & (blk_in <= s_end)
+        hit_s = jnp.where(ok, jnp.maximum(blk_in, 0.0), hit_s)
+        hit_widx = jnp.where(ok, cwidx, hit_widx)
+        hit_bitc = jnp.where(ok, cbit, hit_bitc)
+        hit_word = jnp.where(ok, cword, hit_word)
+        active = active & ~ok
+        s = jnp.where(cand & active,
+                      jnp.maximum(blk_out, s + _STEP_EPS), s)
+        active = active & (s < s_end)
+        return (active.astype(jnp.int32), s, hit_s, hit_widx, hit_bitc,
+                hit_word, rnd + jnp.int32(1))
+
+    def round_body(rstate):
+        active_i, s, hit_s, hit_row, hit_bit, rnd = rstate
+        active = active_i != 0
+        active, s, cand, w0, w1 = march(active, s)
+        cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
+
+        # Leaf row from the rank tables + in-word popcount.
+        ccl = jnp.where(cand, cwidx >> 1, 0)
+        half = cwidx & 1
+        r0 = _gather_chunked(l2r0_ref, ccl, 4, base=l2_base)
+        r1 = _gather_chunked(l2r1_ref, ccl, 4, base=l2_base)
+        rank = jnp.where(half == 0, r0, r1)
+        row = rank + _popcount_below(cword, cbit)
+
+        # Block entry/exit.
+        fx = cbx.astype(jnp.float32) * 4.0
+        fy = cby.astype(jnp.float32) * 4.0
+        fz = cbz.astype(jnp.float32) * 4.0
+        blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
+                                 fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+
+        if mode == "ao_threshold":
+            thr_inside = cand & active & (s <= s_stop) & (s_stop <= blk_out)
+            ok = thr_inside & (s <= s_end)
+            hit_s = jnp.where(ok, s, hit_s)
+            hit_row = jnp.where(ok, row, hit_row)
+            hit_bit = jnp.where(ok, 255, hit_bit)
             active = active & ~ok
-            s = jnp.where(cand & active,
-                          jnp.maximum(blk_out, s + _STEP_EPS), s)
-            active = active & (s < s_end)
-            return (active.astype(jnp.int32), s, hit_s, hit_widx, hit_bitc,
-                    hit_word, rnd + jnp.int32(1))
 
-        def round_body(rstate):
-            active_i, s, hit_s, hit_row, hit_bit, rnd = rstate
+        # ---- micro DDA (hit.rint:43-137) -------------------------
+        # Mask fetch stays UNGATED: re-measured round 2 with
+        # gate="chunks" on the 15-chunk castle tables — 83 vs 69
+        # ms/frame. Secondary-bounce tiles are incoherent enough to
+        # touch most chunks, so the per-chunk cond syncs are pure
+        # overhead (matches the round-1 finding).
+        in_micro = cand & active
+        mrow = jnp.where(in_micro, row, 0)
+        mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks, base=mask_base)
+        mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks, base=mask_base)
+
+        s_m = jnp.maximum(s, s_min)
+        pmx = ox + dx * s_m
+        pmy = oy + dy * s_m
+        pmz = oz + dz * s_m
+        mx = jnp.clip(jnp.floor(pmx).astype(jnp.int32), cbx * 4, cbx * 4 + 3)
+        my = jnp.clip(jnp.floor(pmy).astype(jnp.int32), cby * 4, cby * 4 + 3)
+        mz = jnp.clip(jnp.floor(pmz).astype(jnp.int32), cbz * 4, cbz * 4 + 3)
+        # Zero-direction axes never cross (see traverse.py note).
+        tmx = jnp.where(jnp.abs(dx) < 1e-20, 1e30,
+                        (mx.astype(jnp.float32) + p01x - ox) * rx)
+        tmy = jnp.where(jnp.abs(dy) < 1e-20, 1e30,
+                        (my.astype(jnp.float32) + p01y - oy) * ry)
+        tmz = jnp.where(jnp.abs(dz) < 1e-20, 1e30,
+                        (mz.astype(jnp.float32) + p01z - oz) * rz)
+
+        def mcond(st):
+            return jnp.any(st[0] != 0) & (st[-1] < micro_cap)
+
+        def mbody(st):
+            (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz,
+             active_i, hit_s, hit_row, hit_bit, i) = st
+            in_micro = in_micro_i != 0
             active = active_i != 0
-            active, s, cand, w0, w1 = march(active, s)
-            cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
+            bit = ((mx & 3) << 4) | ((my & 3) << 2) | (mz & 3)
+            in_lo = bit < 32
+            blo = _bit_test_i32(mask_lo, jnp.where(in_lo, bit, 0))
+            bhi = _bit_test_i32(mask_hi, jnp.where(in_lo, 0, bit - 32))
+            occ = jnp.where(in_lo, blo, bhi) != 0
 
-            # Leaf row from the rank tables + in-word popcount.
-            ccl = jnp.where(cand, cwidx >> 1, 0)
-            half = cwidx & 1
-            r0 = _gather_chunked(l2r0_ref, ccl, 4)
-            r1 = _gather_chunked(l2r1_ref, ccl, 4)
-            rank = jnp.where(half == 0, r0, r1)
-            row = rank + _popcount_below(cword, cbit)
+            hit_now = in_micro & occ & (s_m <= s_end)
+            dead_far = in_micro & occ & (s_m > s_end)
+            hit_s = jnp.where(hit_now, s_m, hit_s)
+            hit_row = jnp.where(hit_now, row, hit_row)
+            hit_bit = jnp.where(hit_now, bit, hit_bit)
+            active2 = active & ~(hit_now | dead_far)
+            in_micro = in_micro & ~(hit_now | dead_far)
 
-            # Block entry/exit.
-            fx = cbx.astype(jnp.float32) * 4.0
-            fy = cby.astype(jnp.float32) * 4.0
-            fz = cbz.astype(jnp.float32) * 4.0
-            blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
-                                     fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+            # Step the axis with the smallest tMax.
+            s_next = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
+            exited = in_micro & (s_next + _EPS >= blk_out)
+            adv = in_micro & ~exited
+            take_x = adv & (tmx <= tmy) & (tmx <= tmz)
+            take_y = adv & ~take_x & (tmy <= tmz)
+            take_z = adv & ~take_x & ~take_y
+            mx = jnp.where(take_x, mx + sx, mx)
+            my = jnp.where(take_y, my + sy, my)
+            mz = jnp.where(take_z, mz + sz, mz)
+            tmx = jnp.where(take_x, tmx + jnp.abs(rx), tmx)
+            tmy = jnp.where(take_y, tmy + jnp.abs(ry), tmy)
+            tmz = jnp.where(take_z, tmz + jnp.abs(rz), tmz)
+            s_m = jnp.where(adv, s_next, s_m)
+            in_micro = in_micro & ~exited
+            return (in_micro.astype(jnp.int32), s_m, mx, my, mz,
+                    tmx, tmy, tmz, active2.astype(jnp.int32),
+                    hit_s, hit_row, hit_bit, i + jnp.int32(1))
 
-            if mode == "ao_threshold":
-                thr_inside = cand & active & (s <= s_stop) & (s_stop <= blk_out)
-                ok = thr_inside & (s <= s_end)
-                hit_s = jnp.where(ok, s, hit_s)
-                hit_row = jnp.where(ok, row, hit_row)
-                hit_bit = jnp.where(ok, 255, hit_bit)
-                active = active & ~ok
+        st = (in_micro.astype(jnp.int32), s_m, mx, my, mz, tmx, tmy, tmz,
+              active.astype(jnp.int32), hit_s, hit_row, hit_bit,
+              jnp.int32(0))
+        st = jax.lax.while_loop(mcond, mbody, st)
+        active = st[8] != 0
+        hit_s, hit_row, hit_bit = st[9], st[10], st[11]
 
-            # ---- micro DDA (hit.rint:43-137) -------------------------
-            # Mask fetch stays UNGATED: re-measured round 2 with
-            # gate="chunks" on the 15-chunk castle tables — 83 vs 69
-            # ms/frame. Secondary-bounce tiles are incoherent enough to
-            # touch most chunks, so the per-chunk cond syncs are pure
-            # overhead (matches the round-1 finding).
-            in_micro = cand & active
+        # Rays whose block had no voxel hit resume past the block.
+        resumed = cand & active & ~jnp.isfinite(hit_s)
+        s = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS), s)
+        active = active & (s < s_end) & ~(cand & jnp.isfinite(hit_s))
+        return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                rnd + jnp.int32(1))
+
+    def round_body_fused(rstate):
+        """AO + final gather in one walk. Candidate dispatch:
+        1. threshold inside the block  -> AO entry-report (ao.rint's
+           0xFF quirk; the ray is done — final gather only runs for
+           AO-miss rays, final_gather.rgen:24),
+        2. block fully below s_ao      -> micro DDA, voxel hit = AO,
+        3. block fully past s_ao       -> rough: hit at block entry
+           if it is >= s_ao (the split FG pass rejects straddling
+           blocks the same way), else skip past."""
+        active_i, s, ao_t, fg_t, fg_row, rnd = rstate
+        active = active_i != 0
+        active, s, cand, w0, w1 = march(active, s)
+        cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
+
+        ccl = jnp.where(cand, cwidx >> 1, 0)
+        half = cwidx & 1
+        r0 = _gather_chunked(l2r0_ref, ccl, 4, base=l2_base)
+        r1 = _gather_chunked(l2r1_ref, ccl, 4, base=l2_base)
+        rank = jnp.where(half == 0, r0, r1)
+        row = rank + _popcount_below(cword, cbit)
+
+        fx = cbx.astype(jnp.float32) * 4.0
+        fy = cby.astype(jnp.float32) * 4.0
+        fz = cbz.astype(jnp.float32) * 4.0
+        blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
+                                 fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+
+        # 1. AO entry-report.
+        thr_inside = cand & active & (s <= s_ao) & (s_ao <= blk_out)
+        ao_t = jnp.where(thr_inside, s, ao_t)
+        active = active & ~thr_inside
+
+        # 3. rough final-gather past the threshold.
+        fg_blk = cand & active & (s > s_ao)
+        ok_fg = fg_blk & (blk_in >= s_ao) & (blk_in <= s_end)
+        fg_t = jnp.where(ok_fg, jnp.maximum(blk_in, 0.0), fg_t)
+        fg_row = jnp.where(ok_fg, row, fg_row)
+        active = active & ~ok_fg
+        skip = fg_blk & ~ok_fg & active
+        s = jnp.where(skip, jnp.maximum(blk_out, s + _STEP_EPS), s)
+        active = active & (s < s_end)
+
+        # 2. micro DDA below the threshold (s_ao > blk_out here, so
+        # every voxel in the block is within AO range). The whole
+        # section — including the 15-chunk mask gathers — is gated:
+        # AO lanes drain within the first couple of rounds (the
+        # threshold spans at most 3 blocks), after which the fused
+        # walk is pure rough-FG and must not pay mask fetches.
+        in_micro = cand & active & ~thr_inside & ~fg_blk
+
+        def do_micro(args):
+            active_i2, s, ao_t = args
+            active = active_i2 != 0
             mrow = jnp.where(in_micro, row, 0)
-            mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks)
-            mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks)
+            mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks, base=mask_base)
+            mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks, base=mask_base)
 
             s_m = jnp.maximum(s, s_min)
             pmx = ox + dx * s_m
             pmy = oy + dy * s_m
             pmz = oz + dz * s_m
-            mx = jnp.clip(jnp.floor(pmx).astype(jnp.int32), cbx * 4, cbx * 4 + 3)
-            my = jnp.clip(jnp.floor(pmy).astype(jnp.int32), cby * 4, cby * 4 + 3)
-            mz = jnp.clip(jnp.floor(pmz).astype(jnp.int32), cbz * 4, cbz * 4 + 3)
-            # Zero-direction axes never cross (see traverse.py note).
+            mx = jnp.clip(jnp.floor(pmx).astype(jnp.int32),
+                          cbx * 4, cbx * 4 + 3)
+            my = jnp.clip(jnp.floor(pmy).astype(jnp.int32),
+                          cby * 4, cby * 4 + 3)
+            mz = jnp.clip(jnp.floor(pmz).astype(jnp.int32),
+                          cbz * 4, cbz * 4 + 3)
             tmx = jnp.where(jnp.abs(dx) < 1e-20, 1e30,
                             (mx.astype(jnp.float32) + p01x - ox) * rx)
             tmy = jnp.where(jnp.abs(dy) < 1e-20, 1e30,
@@ -538,7 +662,7 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
 
             def mbody(st):
                 (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz,
-                 active_i, hit_s, hit_row, hit_bit, i) = st
+                 active_i, ao_t, i) = st
                 in_micro = in_micro_i != 0
                 active = active_i != 0
                 bit = ((mx & 3) << 4) | ((my & 3) << 2) | (mz & 3)
@@ -547,15 +671,11 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 bhi = _bit_test_i32(mask_hi, jnp.where(in_lo, 0, bit - 32))
                 occ = jnp.where(in_lo, blo, bhi) != 0
 
-                hit_now = in_micro & occ & (s_m <= s_end)
-                dead_far = in_micro & occ & (s_m > s_end)
-                hit_s = jnp.where(hit_now, s_m, hit_s)
-                hit_row = jnp.where(hit_now, row, hit_row)
-                hit_bit = jnp.where(hit_now, bit, hit_bit)
-                active2 = active & ~(hit_now | dead_far)
-                in_micro = in_micro & ~(hit_now | dead_far)
+                hit_now = in_micro & occ
+                ao_t = jnp.where(hit_now, s_m, ao_t)
+                active2 = active & ~hit_now
+                in_micro = in_micro & ~hit_now
 
-                # Step the axis with the smallest tMax.
                 s_next = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
                 exited = in_micro & (s_next + _EPS >= blk_out)
                 adv = in_micro & ~exited
@@ -572,199 +692,220 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
                 in_micro = in_micro & ~exited
                 return (in_micro.astype(jnp.int32), s_m, mx, my, mz,
                         tmx, tmy, tmz, active2.astype(jnp.int32),
-                        hit_s, hit_row, hit_bit, i + jnp.int32(1))
+                        ao_t, i + jnp.int32(1))
 
-            st = (in_micro.astype(jnp.int32), s_m, mx, my, mz, tmx, tmy, tmz,
-                  active.astype(jnp.int32), hit_s, hit_row, hit_bit,
+            st = (in_micro.astype(jnp.int32), s_m, mx, my, mz,
+                  tmx, tmy, tmz, active.astype(jnp.int32), ao_t,
                   jnp.int32(0))
             st = jax.lax.while_loop(mcond, mbody, st)
-            active = st[8] != 0
-            hit_s, hit_row, hit_bit = st[9], st[10], st[11]
+            active2 = st[8] != 0
+            ao_t = st[9]
 
-            # Rays whose block had no voxel hit resume past the block.
-            resumed = cand & active & ~jnp.isfinite(hit_s)
-            s = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS), s)
-            active = active & (s < s_end) & ~(cand & jnp.isfinite(hit_s))
-            return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                    rnd + jnp.int32(1))
+            resumed = in_micro & active2
+            s2 = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS),
+                           s)
+            return active2.astype(jnp.int32), s2, ao_t
 
-        def round_body_fused(rstate):
-            """AO + final gather in one walk. Candidate dispatch:
-            1. threshold inside the block  -> AO entry-report (ao.rint's
-               0xFF quirk; the ray is done — final gather only runs for
-               AO-miss rays, final_gather.rgen:24),
-            2. block fully below s_ao      -> micro DDA, voxel hit = AO,
-            3. block fully past s_ao       -> rough: hit at block entry
-               if it is >= s_ao (the split FG pass rejects straddling
-               blocks the same way), else skip past."""
-            active_i, s, ao_t, fg_t, fg_row, rnd = rstate
-            active = active_i != 0
-            active, s, cand, w0, w1 = march(active, s)
-            cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
+        active_i2, s, ao_t = jax.lax.cond(
+            jnp.any(in_micro), do_micro, lambda a: a,
+            (active.astype(jnp.int32), s, ao_t))
+        active = (active_i2 != 0) & (s < s_end)
+        return (active.astype(jnp.int32), s, ao_t, fg_t, fg_row,
+                rnd + jnp.int32(1))
 
-            ccl = jnp.where(cand, cwidx >> 1, 0)
-            half = cwidx & 1
-            r0 = _gather_chunked(l2r0_ref, ccl, 4)
-            r1 = _gather_chunked(l2r1_ref, ccl, 4)
-            rank = jnp.where(half == 0, r0, r1)
-            row = rank + _popcount_below(cword, cbit)
+    def round_cond(rstate):
+        return jnp.any(rstate[0] != 0) & (rstate[-1] < rounds)
 
-            fx = cbx.astype(jnp.float32) * 4.0
-            fy = cby.astype(jnp.float32) * 4.0
-            fz = cbz.astype(jnp.float32) * 4.0
-            blk_in, blk_out = _slab3(ox, oy, oz, rx, ry, rz,
-                                     fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
+    if fused:
+        rstate = (active.astype(jnp.int32), s, hit_s,
+                  jnp.full(shape, jnp.inf, jnp.float32), hit_row,
+                  jnp.int32(0))
+        rstate = jax.lax.while_loop(round_cond, round_body_fused, rstate)
+        return rstate[2], rstate[3], rstate[4]  # ao_t, fg_t, fg_row
 
-            # 1. AO entry-report.
-            thr_inside = cand & active & (s <= s_ao) & (s_ao <= blk_out)
-            ao_t = jnp.where(thr_inside, s, ao_t)
-            active = active & ~thr_inside
+    if mode == "rough":
+        rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                  jnp.zeros(shape, jnp.int32), jnp.int32(0))
+        rstate = jax.lax.while_loop(round_cond, round_body_rough, rstate)
+        hit_s, hit_widx, hit_bitc, hit_word = (rstate[2], rstate[3],
+                                               rstate[4], rstate[5])
+        # Deferred leaf-row resolution: one rank gather for the whole
+        # trace instead of one per round.
+        got = hit_widx >= 0
+        ccl = jnp.where(got, hit_widx >> 1, 0)
+        r0 = _gather_chunked(l2r0_ref, ccl, 4, base=l2_base)
+        r1 = _gather_chunked(l2r1_ref, ccl, 4, base=l2_base)
+        rank = jnp.where((hit_widx & 1) == 0, r0, r1)
+        hit_row = jnp.where(
+            got, rank + _popcount_below(hit_word,
+                                        jnp.maximum(hit_bitc, 0)), -1)
+        hit_bit = jnp.full(shape, -1, jnp.int32)
+    else:
+        rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                  jnp.int32(0))
+        rstate = jax.lax.while_loop(round_cond, round_body, rstate)
+        hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
 
-            # 3. rough final-gather past the threshold.
-            fg_blk = cand & active & (s > s_ao)
-            ok_fg = fg_blk & (blk_in >= s_ao) & (blk_in <= s_end)
-            fg_t = jnp.where(ok_fg, jnp.maximum(blk_in, 0.0), fg_t)
-            fg_row = jnp.where(ok_fg, row, fg_row)
-            active = active & ~ok_fg
-            skip = fg_blk & ~ok_fg & active
-            s = jnp.where(skip, jnp.maximum(blk_out, s + _STEP_EPS), s)
-            active = active & (s < s_end)
+    # Straggler hand-off (two-phase tracing): rays still active when
+    # the round budget ran out resume a later pass from their current
+    # march position (s_resume = rstate[1], active = rstate[0]).
+    return hit_s, hit_row, hit_bit, rstate[1], rstate[0]
 
-            # 2. micro DDA below the threshold (s_ao > blk_out here, so
-            # every voxel in the block is within AO range). The whole
-            # section — including the 15-chunk mask gathers — is gated:
-            # AO lanes drain within the first couple of rounds (the
-            # threshold spans at most 3 blocks), after which the fused
-            # walk is pure rough-FG and must not pay mask fetches.
-            in_micro = cand & active & ~thr_inside & ~fg_blk
 
-            def do_micro(args):
-                active_i2, s, ao_t = args
-                active = active_i2 != 0
-                mrow = jnp.where(in_micro, row, 0)
-                mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks)
-                mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks)
+def _make_kernel(mask_chunks: int, mode: str, rounds: int,
+                 march_cap: int, micro_cap: int, want_resume: bool = False):
+    """Single-instance kernel: refs in/out around :func:`_traverse_core`."""
+    fused = mode == "ao_fg"
 
-                s_m = jnp.maximum(s, s_min)
-                pmx = ox + dx * s_m
-                pmy = oy + dy * s_m
-                pmz = oz + dz * s_m
-                mx = jnp.clip(jnp.floor(pmx).astype(jnp.int32),
-                              cbx * 4, cbx * 4 + 3)
-                my = jnp.clip(jnp.floor(pmy).astype(jnp.int32),
-                              cby * 4, cby * 4 + 3)
-                mz = jnp.clip(jnp.floor(pmz).astype(jnp.int32),
-                              cbz * 4, cbz * 4 + 3)
-                tmx = jnp.where(jnp.abs(dx) < 1e-20, 1e30,
-                                (mx.astype(jnp.float32) + p01x - ox) * rx)
-                tmy = jnp.where(jnp.abs(dy) < 1e-20, 1e30,
-                                (my.astype(jnp.float32) + p01y - oy) * ry)
-                tmz = jnp.where(jnp.abs(dz) < 1e-20, 1e30,
-                                (mz.astype(jnp.float32) + p01z - oz) * rz)
-
-                def mcond(st):
-                    return jnp.any(st[0] != 0) & (st[-1] < micro_cap)
-
-                def mbody(st):
-                    (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz,
-                     active_i, ao_t, i) = st
-                    in_micro = in_micro_i != 0
-                    active = active_i != 0
-                    bit = ((mx & 3) << 4) | ((my & 3) << 2) | (mz & 3)
-                    in_lo = bit < 32
-                    blo = _bit_test_i32(mask_lo, jnp.where(in_lo, bit, 0))
-                    bhi = _bit_test_i32(mask_hi, jnp.where(in_lo, 0, bit - 32))
-                    occ = jnp.where(in_lo, blo, bhi) != 0
-
-                    hit_now = in_micro & occ
-                    ao_t = jnp.where(hit_now, s_m, ao_t)
-                    active2 = active & ~hit_now
-                    in_micro = in_micro & ~hit_now
-
-                    s_next = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
-                    exited = in_micro & (s_next + _EPS >= blk_out)
-                    adv = in_micro & ~exited
-                    take_x = adv & (tmx <= tmy) & (tmx <= tmz)
-                    take_y = adv & ~take_x & (tmy <= tmz)
-                    take_z = adv & ~take_x & ~take_y
-                    mx = jnp.where(take_x, mx + sx, mx)
-                    my = jnp.where(take_y, my + sy, my)
-                    mz = jnp.where(take_z, mz + sz, mz)
-                    tmx = jnp.where(take_x, tmx + jnp.abs(rx), tmx)
-                    tmy = jnp.where(take_y, tmy + jnp.abs(ry), tmy)
-                    tmz = jnp.where(take_z, tmz + jnp.abs(rz), tmz)
-                    s_m = jnp.where(adv, s_next, s_m)
-                    in_micro = in_micro & ~exited
-                    return (in_micro.astype(jnp.int32), s_m, mx, my, mz,
-                            tmx, tmy, tmz, active2.astype(jnp.int32),
-                            ao_t, i + jnp.int32(1))
-
-                st = (in_micro.astype(jnp.int32), s_m, mx, my, mz,
-                      tmx, tmy, tmz, active.astype(jnp.int32), ao_t,
-                      jnp.int32(0))
-                st = jax.lax.while_loop(mcond, mbody, st)
-                active2 = st[8] != 0
-                ao_t = st[9]
-
-                resumed = in_micro & active2
-                s2 = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS),
-                               s)
-                return active2.astype(jnp.int32), s2, ao_t
-
-            active_i2, s, ao_t = jax.lax.cond(
-                jnp.any(in_micro), do_micro, lambda a: a,
-                (active.astype(jnp.int32), s, ao_t))
-            active = (active_i2 != 0) & (s < s_end)
-            return (active.astype(jnp.int32), s, ao_t, fg_t, fg_row,
-                    rnd + jnp.int32(1))
-
-        def round_cond(rstate):
-            return jnp.any(rstate[0] != 0) & (rstate[-1] < rounds)
-
+    def kernel(*refs):
+        (l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+         mlo_ref, mhi_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         smin_ref) = refs[:14]
         if fused:
-            rstate = (active.astype(jnp.int32), s, hit_s,
-                      jnp.full(shape, jnp.inf, jnp.float32), hit_row,
-                      jnp.int32(0))
-            rstate = jax.lax.while_loop(round_cond, round_body_fused, rstate)
-            hit_ref[:] = rstate[2]   # ao_t
-            row_ref[:] = rstate[3]   # fg_t (f32 output)
-            bit_ref[:] = rstate[4]   # fg_row
-            return
-
-        if mode == "rough":
-            rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                      jnp.zeros(shape, jnp.int32), jnp.int32(0))
-            rstate = jax.lax.while_loop(round_cond, round_body_rough, rstate)
-            hit_s, hit_widx, hit_bitc, hit_word = (rstate[2], rstate[3],
-                                                   rstate[4], rstate[5])
-            # Deferred leaf-row resolution: one rank gather for the whole
-            # trace instead of one per round.
-            got = hit_widx >= 0
-            ccl = jnp.where(got, hit_widx >> 1, 0)
-            r0 = _gather_chunked(l2r0_ref, ccl, 4)
-            r1 = _gather_chunked(l2r1_ref, ccl, 4)
-            rank = jnp.where((hit_widx & 1) == 0, r0, r1)
-            hit_row = jnp.where(
-                got, rank + _popcount_below(hit_word,
-                                            jnp.maximum(hit_bitc, 0)), -1)
-            hit_bit = jnp.full(shape, -1, jnp.int32)
+            sao_ref, smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
+        elif want_resume:
+            (smax_ref, hit_ref, row_ref, bit_ref,
+             sres_ref, act_ref) = refs[14:]
         else:
-            rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                      jnp.int32(0))
-            rstate = jax.lax.while_loop(round_cond, round_body, rstate)
-            hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
-
+            smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
+        out = _traverse_core(
+            l1_ref[:], l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+            mlo_ref, mhi_ref,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            smin_ref[:], smax_ref[:],
+            mask_chunks, mode, rounds, march_cap, micro_cap,
+            s_ao=sao_ref[:] if fused else None,
+        )
+        if fused:
+            hit_ref[:], row_ref[:], bit_ref[:] = out  # ao_t, fg_t, fg_row
+            return
+        hit_s, hit_row, hit_bit, s_res, act = out
         hit_ref[:] = hit_s
         row_ref[:] = hit_row
         bit_ref[:] = hit_bit
         if want_resume:
-            # Straggler hand-off (two-phase tracing): rays still active
-            # when the round budget ran out resume a later pass from
-            # their current march position.
-            sres_ref[:] = rstate[1]
-            act_ref[:] = rstate[0]
+            sres_ref[:] = s_res
+            act_ref[:] = act
 
     return kernel
+
+
+def _make_scene_kernel(CL: int, mode: str, rounds: int,
+                       march_cap: int, micro_cap: int):
+    """Batched multi-instance kernel — the TLAS equivalent
+    (``crates/render/src/accel_struct/tlas.rs:29-143``): ONE dispatch
+    traces every instance with a grid of (ray tiles × instances),
+    instances innermost so the closest-hit accumulators stay resident in
+    VMEM across the instance sweep. Per grid step the kernel transforms
+    its WORLD-space ray tile by the instance's affine (12 SMEM scalars),
+    clips to the model AABB and the best hit so far (per-program instance
+    culling: a tile whose rays all miss the box runs zero traversal
+    rounds — the hardware-TLAS "skip this BLAS" analog), then merges.
+
+    Tables arrive stacked over models with the chunk axes flattened
+    ((M*4, 8, 128) l2 / (M*CL, 8, 128) masks); the per-instance model id
+    (SMEM) turns into chunk-base offsets for the shared gathers."""
+
+    def kernel(l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+               mlo_ref, mhi_ref,
+               i2m_ref, aff_ref, aabb_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tn_ref, tx_ref,
+               t_ref, inst_ref, row_ref, bit_ref):
+        shape = ox_ref.shape
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            t_ref[:] = jnp.full(shape, jnp.inf, jnp.float32)
+            inst_ref[:] = jnp.full(shape, -1, jnp.int32)
+            row_ref[:] = jnp.full(shape, -1, jnp.int32)
+            bit_ref[:] = jnp.full(shape, -1, jnp.int32)
+
+        m = i2m_ref[i]
+        owx, owy, owz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dwx, dwy, dwz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+        def a(k):
+            return aff_ref[i, k]
+
+        # world -> object affine (world_to_obj rows).
+        ox = a(0) * owx + a(1) * owy + a(2) * owz + a(3)
+        oy = a(4) * owx + a(5) * owy + a(6) * owz + a(7)
+        oz = a(8) * owx + a(9) * owy + a(10) * owz + a(11)
+        dx = a(0) * dwx + a(1) * dwy + a(2) * dwz
+        dy = a(4) * dwx + a(5) * dwy + a(6) * dwz
+        dz = a(8) * dwx + a(9) * dwy + a(10) * dwz
+        dlen = jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-20)
+        inv = 1.0 / dlen
+        dx, dy, dz = dx * inv, dy * inv, dz * inv
+
+        best = t_ref[:]
+        tn = tn_ref[:]
+        tx = jnp.minimum(tx_ref[:], best)
+
+        # Model-AABB clip in s units (the clip_to_model_aabb semantics).
+        rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
+        zero = jnp.zeros(shape, jnp.float32)
+        lo, hi = _slab3(ox, oy, oz, rx, ry, rz,
+                        zero + aabb_ref[m, 0], zero + aabb_ref[m, 1],
+                        zero + aabb_ref[m, 2], zero + aabb_ref[m, 3],
+                        zero + aabb_ref[m, 4], zero + aabb_ref[m, 5])
+        s_min = jnp.maximum(tn * dlen, lo)
+        s_stop = jnp.minimum(tx * dlen, hi)
+
+        hit_s, hit_row, hit_bit, _sres, _act = _traverse_core(
+            l1_ref[m], l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+            mlo_ref, mhi_ref,
+            ox, oy, oz, dx, dy, dz, s_min, s_stop,
+            CL, mode, rounds, march_cap, micro_cap,
+            l2_base=m * 4, mask_base=m * CL,
+        )
+        t_new = hit_s * inv
+        closer = t_new < best
+        t_ref[:] = jnp.where(closer, t_new, best)
+        inst_ref[:] = jnp.where(closer, i, inst_ref[:])
+        row_ref[:] = jnp.where(closer, hit_row, row_ref[:])
+        bit_ref[:] = jnp.where(closer, hit_bit, bit_ref[:])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("CL", "mode", "rounds", "march_cap",
+                                   "interpret"))
+def _trace_pallas_scene(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
+                        i2m, aff, aabb,
+                        ox, oy, oz, dx, dy, dz, tn, tx,
+                        CL, mode, rounds, march_cap=160, interpret=False):
+    n_rows = ox.shape[0]
+    n_inst = i2m.shape[0]
+    grid = (n_rows // ROWS, n_inst)
+    kernel = _make_scene_kernel(CL, mode, rounds,
+                                march_cap=march_cap, micro_cap=12)
+
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda g, i: (g, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tab_spec] * 7 + [smem_spec] * 3 + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # t (param)
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # inst
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # row
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # bit
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, i2m, aff, aabb,
+      ox, oy, oz, dx, dy, dz, tn, tx)
+    return out
 
 
 @partial(jax.jit, static_argnames=("mask_chunks", "mode", "rounds",
@@ -1120,6 +1261,68 @@ def _xform_dir(a34, d):
     return jnp.einsum("ij,nj->ni", a34[:, :3], d, precision="highest")
 
 
+def trace_scene_pallas_batched(scene, origin, direction, t_min, t_max,
+                               mode: str = "precise", rounds: int = 64,
+                               interpret: bool | None = None):
+    """Closest-hit trace against every instance in ONE batched kernel
+    dispatch (see :func:`_make_scene_kernel`) — same contract as
+    :func:`dust_tpu.ops.traverse.trace_scene`. Unlike the per-instance
+    loop this costs O(1) dispatches and O(N) ray-stream HBM traffic
+    regardless of the instance count; per-(tile, instance) work is
+    culled in-kernel against the model AABB and the best hit so far."""
+    from dust_tpu.ops.traverse import TraceResult
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    n = origin.shape[0]
+    I = scene.num_instances
+    M = scene.num_models
+    CL = scene.pl_mlo.shape[1]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if I == 0:
+        neg1 = -jnp.ones(n, jnp.int32)
+        return TraceResult(t=jnp.full(n, jnp.inf), inst=neg1, row=neg1,
+                           bit=neg1)
+
+    block = ROWS * LANES
+    pad = (-n) % block
+
+    def prep(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
+        return x.reshape(-1, LANES)
+
+    i2m = jnp.asarray(scene.inst_model, jnp.int32)
+    aff = scene.world_to_obj.reshape(I, 12)
+    aabb = jnp.concatenate([scene.model_aabb_min, scene.model_aabb_max],
+                           axis=-1)  # (M, 6)
+
+    t, inst, row, bit = _trace_pallas_scene(
+        scene.pl_l1,
+        scene.pl_l2w0.reshape(M * 4, 8, 128),
+        scene.pl_l2w1.reshape(M * 4, 8, 128),
+        scene.pl_l2r0.reshape(M * 4, 8, 128),
+        scene.pl_l2r1.reshape(M * 4, 8, 128),
+        scene.pl_mlo.reshape(M * CL, 8, 128),
+        scene.pl_mhi.reshape(M * CL, 8, 128),
+        i2m, aff, aabb,
+        prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
+        prep(direction[:, 0], 1.0), prep(direction[:, 1], 1.0),
+        prep(direction[:, 2], 1.0),
+        prep(t_min), prep(t_max, -1.0),
+        CL=CL, mode=mode, rounds=rounds, interpret=interpret,
+    )
+    return TraceResult(
+        t=t.reshape(-1)[:n],
+        inst=inst.reshape(-1)[:n],
+        row=row.reshape(-1)[:n],
+        bit=bit.reshape(-1)[:n],
+    )
+
+
 def trace_scene_pallas(scene, origin, direction, t_min, t_max,
                        mode: str = "precise", rounds: int = 64,
                        interpret: bool | None = None,
@@ -1127,14 +1330,21 @@ def trace_scene_pallas(scene, origin, direction, t_min, t_max,
     """Closest-hit trace against every instance with the Pallas kernel —
     same contract as :func:`dust_tpu.ops.traverse.trace_scene`.
 
-    ``two_phase`` uses the straggler-decoupled path
-    (:func:`trace_instance_pallas_2p`): identical results, faster on
-    real hardware for deep/incoherent workloads."""
+    The default path is the batched one-dispatch TLAS-style kernel
+    (:func:`trace_scene_pallas_batched`). ``two_phase`` selects the
+    straggler-decoupled per-instance loop
+    (:func:`trace_instance_pallas_2p`); ``DUST_PALLAS_SCENE=loop`` forces
+    the per-instance loop for A/B measurement."""
     from dust_tpu.ops.traverse import TraceResult
 
     if interpret is None:
         # CPU backend (tests, virtual meshes) only supports interpret mode.
         interpret = jax.default_backend() == "cpu"
+
+    if not two_phase and _os.environ.get("DUST_PALLAS_SCENE") != "loop":
+        return trace_scene_pallas_batched(
+            scene, origin, direction, t_min, t_max, mode=mode,
+            rounds=rounds, interpret=interpret)
 
     n = origin.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))

@@ -432,6 +432,25 @@ def render_frame(
             surfel_dir = jnp.tile(jnp.arange(6, dtype=jnp.int32),
                                   centers_w.shape[0])
             s_valid = jnp.repeat(vleaf, 6)
+            # Refresh-budget cap (SurfelSettings.dense_refresh_budget):
+            # big scenes patch a rotating contiguous slice per frame so
+            # the surfel-pass ray count stays fixed like the reference's
+            # 720x480 pool instead of scaling with instances x leaves.
+            rows_total = surfel_pos.shape[0]
+            budget = settings.surfels.dense_refresh_budget
+            if budget and rows_total > budget:
+                nslices = -(-rows_total // budget)
+                slice_start = jnp.minimum(
+                    (frame_index % nslices) * budget,
+                    rows_total - budget).astype(jnp.int32)
+                surfel_pos = jax.lax.dynamic_slice(
+                    surfel_pos, (slice_start, 0), (budget, 3))
+                surfel_dir = jax.lax.dynamic_slice(
+                    surfel_dir, (slice_start,), (budget,))
+                s_valid = jax.lax.dynamic_slice(
+                    s_valid, (slice_start,), (budget,))
+            else:
+                slice_start = None
             p = surfel_pos.shape[0]
             s_normal = pk.face_id_to_normal(surfel_dir)
         else:
@@ -500,8 +519,13 @@ def render_frame(
         )
         insert_ok = s_valid & (~s_hit | s_found)
         if dense:
-            # Elementwise running-mean update — pool row i IS cache row i.
-            new_gi = gilib.dense_update(state.gi, insert_val, insert_ok)
+            # Elementwise running-mean update — pool row i IS cache row i
+            # (or the budgeted slice of it).
+            if slice_start is not None:
+                new_gi = gilib.dense_update_slice(
+                    state.gi, slice_start, insert_val, insert_ok)
+            else:
+                new_gi = gilib.dense_update(state.gi, insert_val, insert_ok)
         else:
             s_qpos = jnp.trunc(
                 surfel_pos / settings.spatial_hash.cell_size).astype(jnp.int32)

@@ -186,3 +186,78 @@ def teapot_scene_bytes() -> bytes:
         3: vp.ShapeNode(model_ids=[0]),
     }
     return vp.write_vox(vp.VoxFile(models=[model], palette=_palette(), scenes=scenes))
+
+
+# ---------------------------------------------------------------------------
+# Scene composition helpers (the canonical + stress workloads)
+# ---------------------------------------------------------------------------
+
+def add_teapot(vox_scene, offset=(60.0, 40.0, 0.0), name="teapot") -> int:
+    """Append the procgen teapot as a new model + instance — the
+    reference's canonical frame is castle + animated teapot
+    (``examples/castle.rs:107-117``). Returns the new instance index."""
+    from dust_tpu.vox.loader import VoxInstance, load_vox_scene
+
+    tp = load_vox_scene(teapot_scene_bytes())
+    base = max(vox_scene.geometries) + 1
+    for mid, geo in tp.geometries.items():
+        vox_scene.geometries[base + mid] = geo
+    idx = None
+    for inst in tp.instances:
+        t = inst.transform.copy()
+        t[:3, 3] += np.asarray(offset, np.float32)
+        vox_scene.instances.append(
+            VoxInstance(base + inst.model_id, t, name=name))
+        idx = len(vox_scene.instances) - 1
+    return idx
+
+
+def teapot_motion(base_o2w: np.ndarray, inst_idx: int, frame: int,
+                  rate: float = 1.0 / 30.0) -> np.ndarray:
+    """Per-frame bob + spin transform update for one instance
+    (``teapot_move_system``, ``examples/castle.rs:126-148``). Returns a
+    copy of ``base_o2w`` with row ``inst_idx`` animated."""
+    import math
+
+    t = frame * rate
+    o2w = base_o2w.copy()
+    c, s = math.cos(t), math.sin(t)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    o2w[inst_idx, :3, :3] = rot @ base_o2w[inst_idx, :3, :3]
+    o2w[inst_idx, :3, 3] = base_o2w[inst_idx, :3, 3] + np.asarray(
+        [0.0, 5.0 * math.sin(t * 2.0), 0.0], np.float32)
+    return o2w
+
+
+def stress_scene(grid: int = 3, spacing: float = 280.0, teapots: int = 2):
+    """Many-instance stress workload: a ``grid``×``grid`` floor of castle
+    instances (ONE shared model) plus ``teapots`` teapot instances —
+    exercises the TLAS-style batched trace the way an UnboundedRoot tile
+    world does (instances sharing few models). ≥3M voxels at 3×3."""
+    from dust_tpu.vox.loader import VoxInstance, load_vox_scene
+
+    scene = load_vox_scene(castle_scene_bytes())
+    base = scene.instances[0]
+    scene.instances.clear()
+    half = (grid - 1) / 2.0
+    for gx in range(grid):
+        for gz in range(grid):
+            t = base.transform.copy()
+            t[:3, 3] += np.asarray(
+                [(gx - half) * spacing, 0.0, (gz - half) * spacing],
+                np.float32)
+            scene.instances.append(
+                VoxInstance(base.model_id, t, name=f"castle_{gx}_{gz}"))
+    anim = None
+    for k in range(teapots):
+        if k == 0:
+            anim = add_teapot(scene, offset=(60.0, 40.0, 0.0),
+                              name="teapot_0")
+            tp_model = scene.instances[anim].model_id
+        else:  # later teapots share the first one's model (instances >> models)
+            t = scene.instances[anim].transform.copy()
+            t[:3, 3] += np.asarray([70.0 * k, 10.0 * k, 40.0 * k], np.float32)
+            scene.instances.append(
+                VoxInstance(tp_model, t, name=f"teapot_{k}"))
+            anim = len(scene.instances) - 1
+    return scene, anim

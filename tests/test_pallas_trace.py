@@ -244,7 +244,10 @@ def test_two_phase_matches_single_phase():
         np.testing.assert_array_equal(np.array(a.row), np.array(b.row))
         np.testing.assert_array_equal(np.array(a.bit), np.array(b.bit))
         ta, tb = np.array(a.t), np.array(b.t)
-        np.testing.assert_allclose(ta[np.isfinite(ta)], tb[np.isfinite(tb)])
+        # a is the batched scene kernel (normalises directions in-kernel),
+        # b the per-instance loop (host-side norm): t agrees to the ulp.
+        np.testing.assert_allclose(ta[np.isfinite(ta)], tb[np.isfinite(tb)],
+                                   rtol=1e-6)
 
     # Starved phase-1 budget: nearly all rays resume in phase 2 and the
     # k_div folding collides heavily, forcing the safety pass.
