@@ -792,102 +792,127 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
     return kernel
 
 
-def _make_scene_kernel(CL: int, mode: str, rounds: int,
+def _make_scene_kernel(CL: int, model_chunks: tuple, inst_counts: tuple,
+                       mode: str, rounds: int,
                        march_cap: int, micro_cap: int):
     """Batched multi-instance kernel — the TLAS equivalent
     (``crates/render/src/accel_struct/tlas.rs:29-143``): ONE dispatch
-    traces every instance with a grid of (ray tiles × instances),
-    instances innermost so the closest-hit accumulators stay resident in
-    VMEM across the instance sweep. Per grid step the kernel transforms
-    its WORLD-space ray tile by the instance's affine (12 SMEM scalars),
-    clips to the model AABB and the best hit so far (per-program instance
+    traces every instance. The grid covers ray tiles only; inside the
+    kernel a STATIC loop over models (code size O(M)) wraps a fori_loop
+    over that model's instances, so each model's REAL mask-chunk count
+    is baked into its gathers (a 1-chunk teapot must not walk the
+    castle's 15 padded chunks) and the closest-hit accumulators stay in
+    registers for the whole sweep. Per instance the kernel transforms
+    the WORLD-space ray tile by the instance affine (SMEM scalars),
+    clips to the model AABB and the best hit so far (per-tile instance
     culling: a tile whose rays all miss the box runs zero traversal
     rounds — the hardware-TLAS "skip this BLAS" analog), then merges.
 
-    Tables arrive stacked over models with the chunk axes flattened
-    ((M*4, 8, 128) l2 / (M*CL, 8, 128) masks); the per-instance model id
-    (SMEM) turns into chunk-base offsets for the shared gathers."""
+    Instances arrive sorted by model; ``ids_ref`` maps the sorted
+    position back to the caller's instance index for the output."""
 
     def kernel(l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
                mlo_ref, mhi_ref,
-               i2m_ref, aff_ref, aabb_ref,
+               ids_ref, aff_ref, aabb_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tn_ref, tx_ref,
                t_ref, inst_ref, row_ref, bit_ref):
         shape = ox_ref.shape
-        i = pl.program_id(1)
-
-        @pl.when(i == 0)
-        def _init():
-            t_ref[:] = jnp.full(shape, jnp.inf, jnp.float32)
-            inst_ref[:] = jnp.full(shape, -1, jnp.int32)
-            row_ref[:] = jnp.full(shape, -1, jnp.int32)
-            bit_ref[:] = jnp.full(shape, -1, jnp.int32)
-
-        m = i2m_ref[i]
         owx, owy, owz = ox_ref[:], oy_ref[:], oz_ref[:]
         dwx, dwy, dwz = dx_ref[:], dy_ref[:], dz_ref[:]
-
-        def a(k):
-            return aff_ref[i, k]
-
-        # world -> object affine (world_to_obj rows).
-        ox = a(0) * owx + a(1) * owy + a(2) * owz + a(3)
-        oy = a(4) * owx + a(5) * owy + a(6) * owz + a(7)
-        oz = a(8) * owx + a(9) * owy + a(10) * owz + a(11)
-        dx = a(0) * dwx + a(1) * dwy + a(2) * dwz
-        dy = a(4) * dwx + a(5) * dwy + a(6) * dwz
-        dz = a(8) * dwx + a(9) * dwy + a(10) * dwz
-        dlen = jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-20)
-        inv = 1.0 / dlen
-        dx, dy, dz = dx * inv, dy * inv, dz * inv
-
-        best = t_ref[:]
         tn = tn_ref[:]
-        tx = jnp.minimum(tx_ref[:], best)
+        tx0 = tx_ref[:]
 
-        # Model-AABB clip in s units (the clip_to_model_aabb semantics).
-        rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
-        zero = jnp.zeros(shape, jnp.float32)
-        lo, hi = _slab3(ox, oy, oz, rx, ry, rz,
-                        zero + aabb_ref[m, 0], zero + aabb_ref[m, 1],
-                        zero + aabb_ref[m, 2], zero + aabb_ref[m, 3],
-                        zero + aabb_ref[m, 4], zero + aabb_ref[m, 5])
-        s_min = jnp.maximum(tn * dlen, lo)
-        s_stop = jnp.minimum(tx * dlen, hi)
+        best = jnp.full(shape, jnp.inf, jnp.float32)
+        binst = jnp.full(shape, -1, jnp.int32)
+        brow = jnp.full(shape, -1, jnp.int32)
+        bbit = jnp.full(shape, -1, jnp.int32)
 
-        hit_s, hit_row, hit_bit, _sres, _act = _traverse_core(
-            l1_ref[m], l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
-            mlo_ref, mhi_ref,
-            ox, oy, oz, dx, dy, dz, s_min, s_stop,
-            CL, mode, rounds, march_cap, micro_cap,
-            l2_base=m * 4, mask_base=m * CL,
-        )
-        t_new = hit_s * inv
-        closer = t_new < best
-        t_ref[:] = jnp.where(closer, t_new, best)
-        inst_ref[:] = jnp.where(closer, i, inst_ref[:])
-        row_ref[:] = jnp.where(closer, hit_row, row_ref[:])
-        bit_ref[:] = jnp.where(closer, hit_bit, bit_ref[:])
+        start = 0
+        for m, cnt in enumerate(inst_counts):
+            if cnt == 0:
+                continue
+            l1t = l1_ref[m]
+
+            def one_instance(i, carry, _m=m, _l1t=l1t):
+                best, binst, brow, bbit = carry
+
+                def a(k):
+                    return aff_ref[i, k]
+
+                # world -> object affine (world_to_obj rows).
+                ox = a(0) * owx + a(1) * owy + a(2) * owz + a(3)
+                oy = a(4) * owx + a(5) * owy + a(6) * owz + a(7)
+                oz = a(8) * owx + a(9) * owy + a(10) * owz + a(11)
+                dx = a(0) * dwx + a(1) * dwy + a(2) * dwz
+                dy = a(4) * dwx + a(5) * dwy + a(6) * dwz
+                dz = a(8) * dwx + a(9) * dwy + a(10) * dwz
+                dlen = jnp.maximum(
+                    jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-20)
+                inv = 1.0 / dlen
+                dx, dy, dz = dx * inv, dy * inv, dz * inv
+
+                tx = jnp.minimum(tx0, best)
+
+                # Model-AABB clip in s units (clip_to_model_aabb parity).
+                rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
+                zero = jnp.zeros(shape, jnp.float32)
+                lo, hi = _slab3(
+                    ox, oy, oz, rx, ry, rz,
+                    zero + aabb_ref[_m, 0], zero + aabb_ref[_m, 1],
+                    zero + aabb_ref[_m, 2], zero + aabb_ref[_m, 3],
+                    zero + aabb_ref[_m, 4], zero + aabb_ref[_m, 5])
+                s_min = jnp.maximum(tn * dlen, lo)
+                s_stop = jnp.minimum(tx * dlen, hi)
+
+                hit_s, hit_row, hit_bit, _sres, _act = _traverse_core(
+                    _l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+                    mlo_ref, mhi_ref,
+                    ox, oy, oz, dx, dy, dz, s_min, s_stop,
+                    model_chunks[_m], mode, rounds, march_cap, micro_cap,
+                    l2_base=_m * 4, mask_base=_m * CL,
+                )
+                t_new = hit_s * inv
+                closer = t_new < best
+                oid = ids_ref[i]
+                return (jnp.where(closer, t_new, best),
+                        jnp.where(closer, oid, binst),
+                        jnp.where(closer, hit_row, brow),
+                        jnp.where(closer, hit_bit, bbit))
+
+            carry = (best, binst, brow, bbit)
+            if cnt == 1:
+                carry = one_instance(jnp.int32(start), carry)
+            else:
+                carry = jax.lax.fori_loop(start, start + cnt, one_instance,
+                                          carry)
+            best, binst, brow, bbit = carry
+            start += cnt
+
+        t_ref[:] = best
+        inst_ref[:] = binst
+        row_ref[:] = brow
+        bit_ref[:] = bbit
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("CL", "mode", "rounds", "march_cap",
+@partial(jax.jit, static_argnames=("CL", "model_chunks", "inst_counts",
+                                   "mode", "rounds", "march_cap",
                                    "interpret"))
 def _trace_pallas_scene(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
-                        i2m, aff, aabb,
+                        ids, aff, aabb,
                         ox, oy, oz, dx, dy, dz, tn, tx,
-                        CL, mode, rounds, march_cap=160, interpret=False):
+                        CL, model_chunks, inst_counts, mode, rounds,
+                        march_cap=160, interpret=False):
     n_rows = ox.shape[0]
-    n_inst = i2m.shape[0]
-    grid = (n_rows // ROWS, n_inst)
-    kernel = _make_scene_kernel(CL, mode, rounds,
+    grid = (n_rows // ROWS,)
+    kernel = _make_scene_kernel(CL, model_chunks, inst_counts, mode, rounds,
                                 march_cap=march_cap, micro_cap=12)
 
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda g, i: (g, 0),
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -900,10 +925,8 @@ def _trace_pallas_scene(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # row
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # bit
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, i2m, aff, aabb,
+    )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, ids, aff, aabb,
       ox, oy, oz, dx, dy, dz, tn, tx)
     return out
 
@@ -1295,8 +1318,13 @@ def trace_scene_pallas_batched(scene, origin, direction, t_min, t_max,
             x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
         return x.reshape(-1, LANES)
 
-    i2m = jnp.asarray(scene.inst_model, jnp.int32)
-    aff = scene.world_to_obj.reshape(I, 12)
+    # Instances sorted by model (static): the kernel sweeps each model's
+    # contiguous group with that model's real chunk count baked in.
+    order = sorted(range(I), key=lambda i: scene.inst_model[i])
+    inst_counts = tuple(
+        sum(1 for im in scene.inst_model if im == m) for m in range(M))
+    ids = jnp.asarray(order, jnp.int32)
+    aff = scene.world_to_obj[np.asarray(order)].reshape(I, 12)
     aabb = jnp.concatenate([scene.model_aabb_min, scene.model_aabb_max],
                            axis=-1)  # (M, 6)
 
@@ -1308,12 +1336,14 @@ def trace_scene_pallas_batched(scene, origin, direction, t_min, t_max,
         scene.pl_l2r1.reshape(M * 4, 8, 128),
         scene.pl_mlo.reshape(M * CL, 8, 128),
         scene.pl_mhi.reshape(M * CL, 8, 128),
-        i2m, aff, aabb,
+        ids, aff, aabb,
         prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
         prep(direction[:, 0], 1.0), prep(direction[:, 1], 1.0),
         prep(direction[:, 2], 1.0),
         prep(t_min), prep(t_max, -1.0),
-        CL=CL, mode=mode, rounds=rounds, interpret=interpret,
+        CL=CL, model_chunks=tuple(scene.pl_chunks),
+        inst_counts=inst_counts, mode=mode, rounds=rounds,
+        interpret=interpret,
     )
     return TraceResult(
         t=t.reshape(-1)[:n],

@@ -460,13 +460,20 @@ def render_frame(
             s_valid = surfel_dir < 6
             s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
         s_origin = surfel_pos + 2.01 * s_normal
-        sp_y, sp_x = jnp.divmod(jnp.arange(p, dtype=jnp.int32), bn_cosine.shape[2])
-        sp = jnp.stack([sp_x, sp_y], axis=-1)
 
         def bn_fetch_pool(table, offset):
-            x = (sp[:, 0] + offset[0] + rand) % table.shape[2]
-            y = (sp[:, 1] + offset[1] + rand) % table.shape[1]
-            return table[layer, y, x]
+            """Noise per pool slot (slot i <-> texel (i%W, i//W % H), the
+            surfel.rgen flat-launch mapping): like bn_fetch, the pattern
+            is the rolled layer tiled periodically — roll + tile + slice
+            replaces a pool-sized gather (~2 ms/frame at 345k slots)."""
+            th, tw = table.shape[1], table.shape[2]
+            page = jax.lax.dynamic_index_in_dim(table, layer, axis=0,
+                                                keepdims=False)
+            page = jnp.roll(page, shift=(-(offset[1] + rand) % th,
+                                         -(offset[0] + rand) % tw),
+                            axis=(0, 1))
+            reps = -(-p // (th * tw))
+            return jnp.tile(page.reshape(th * tw, -1), (reps, 1))[:p]
 
         s_cos = bn_fetch_pool(bn_cosine, (16, 47)) * 2.0 - 1.0
         s_dir = pk.rotate_vector_by_normal(s_normal, s_cos)

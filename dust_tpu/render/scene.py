@@ -19,8 +19,10 @@ HDDA in :mod:`dust_tpu.ops.traverse`.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,10 +71,18 @@ def cell_info_grid(leaf_grid: np.ndarray, max_dist: int = MAX_SKIP) -> np.ndarra
     return np.where(occ, leaf_grid, -np.maximum(dist, 1)).astype(np.int32)
 
 
-class DeviceScene(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
     """All scene state on device. A pytree of jnp arrays; every field with
     a leading M axis is stacked over models (padded to the max leaf
-    count), every field with a leading I axis is per instance."""
+    count), every field with a leading I axis is per instance.
+
+    ``inst_model`` and ``pl_chunks`` are STATIC pytree metadata (python
+    ints), not traced leaves: the batched trace kernel groups instances
+    by model and bakes each model's real mask-chunk count into the
+    kernel at trace time (a small model must not pay the padded common
+    chunk count on every in-kernel mask gather)."""
 
     # Per-model traversal tables.
     cell_info: jnp.ndarray      # (M, 64, 64, 64) int32
@@ -108,10 +118,14 @@ class DeviceScene(NamedTuple):
     pl_mlo: jnp.ndarray         # (M, CL, 8, 128) int32
     pl_mhi: jnp.ndarray         # (M, CL, 8, 128) int32
     # Instances.
-    inst_model: tuple           # static tuple of python ints (len I)
     obj_to_world: jnp.ndarray   # (I, 3, 4) float32
     world_to_obj: jnp.ndarray   # (I, 3, 4) float32
     prev_obj_to_world: jnp.ndarray  # (I, 3, 4) float32 (last frame, motion)
+    # STATIC metadata (pytree aux data, see class docstring).
+    inst_model: tuple = dataclasses.field(         # per-instance model slot
+        default=(), metadata=dict(static=True))
+    pl_chunks: tuple = dataclasses.field(          # per-model REAL chunks
+        default=(), metadata=dict(static=True))
 
     @property
     def num_instances(self) -> int:
@@ -120,6 +134,13 @@ class DeviceScene(NamedTuple):
     @property
     def num_models(self) -> int:
         return self.cell_info.shape[0]
+
+    @property
+    def _fields(self) -> tuple:
+        return tuple(f.name for f in dataclasses.fields(self))
+
+    def _replace(self, **kw) -> "DeviceScene":
+        return dataclasses.replace(self, **kw)
 
     def with_transforms(self, obj_to_world: jnp.ndarray) -> "DeviceScene":
         """Move instances: new transforms; previous become prev (the
@@ -142,20 +163,44 @@ def _invert_affines(a34: jnp.ndarray) -> jnp.ndarray:
 def material_layout(geos) -> tuple[list[int], list[int]]:
     """Per-model (base, capacity) segments of the shared material pool.
 
-    Capacities are 256-aligned with ~25% headroom so an edited model's
+    Capacities are 256-aligned with ~12.5% headroom so an edited model's
     compacted material list can grow in place — the incremental refit
     (:mod:`dust_tpu.render.edits`) splices one model's rows without
     relocating any other model's pointers (≙ the reference's BLAS refit
-    keeping SBT records stable, ``accel_struct/blas.rs:125``)."""
+    keeping SBT records stable, ``accel_struct/blas.rs:125``). The
+    headroom is deliberately modest: the per-frame material_rgba gather
+    falls off an XLA emitter cliff past ~3.5 MB of table (see
+    ``_material_rgba_rows``), and a castle-scale scene with 25% headroom
+    sat just past it (measured 4.2 -> 35.5 ms/frame for the same
+    gather)."""
     bases, caps = [], []
     base = 0
     for g in geos:
         n = len(g.materials)
-        cap = max(256, -(-(n + n // 4) // 256) * 256)
+        cap = max(256, -(-(n + n // 8) // 256) * 256)
         bases.append(base)
         caps.append(cap)
         base += cap
     return bases, caps
+
+
+# XLA's 2M-index row gather has a measured dead zone in table size on
+# the v5e: tables up to ~3.5 MB use a locality-friendly emitter
+# (~4 ms/frame for the hot material fetch), tables of ~3.6-8 MB fall
+# onto a ~25 ms/frame path, and >=8.4 MB picks a third emitter back at
+# ~6-10 ms. Shading only reads rows below the live entry count, so when
+# the natural size lands in the dead zone we simply pad the table PAST
+# it (HBM is free compared to 25 ms/frame; measured 109.8 -> 80.2
+# ms/frame on castle+teapot).
+_GATHER_SMALL_MAX_ROWS = 220_000   # 16 B rows: ~3.5 MB
+_GATHER_BIG_MIN_ROWS = 524_288     # 16 B rows: 8.4 MB
+
+
+def _material_rgba_rows(n_entries: int) -> int:
+    rows = max(-(-n_entries // 4), 1)
+    if _GATHER_SMALL_MAX_ROWS < rows < _GATHER_BIG_MIN_ROWS:
+        return _GATHER_BIG_MIN_ROWS
+    return rows
 
 
 def build_device_scene(scene: VoxScene) -> DeviceScene:
@@ -199,10 +244,15 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
     )
 
     # NOTE: mask chunks deliberately get NO headroom — every in-kernel
-    # chunked gather walks all chunks unconditionally, so padding them
-    # would tax every trace. A model growing past a 1024-leaf chunk
-    # boundary takes the refit's full-rebuild fallback instead (rare).
-    tables = stack_tables([build_pallas_tables(g.flat) for g in geos])
+    # chunked gather walks all of a model's chunks unconditionally, so
+    # padding them would tax every trace. A model growing past a
+    # 1024-leaf chunk boundary takes the refit's full-rebuild fallback
+    # instead (rare). pl_chunks records each model's REAL count so the
+    # batched scene kernel only walks that many (small models would
+    # otherwise pay the stacked common padding per gather).
+    per_model = [build_pallas_tables(g.flat) for g in geos]
+    pl_chunks = tuple(t.mask_chunks for t in per_model)
+    tables = stack_tables(per_model)
 
     ab_min = np.zeros((M, 3), dtype=np.float32)
     ab_max = np.full((M, 3), 256.0, dtype=np.float32)
@@ -214,8 +264,9 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
     # Padded to a multiple of 4 and stored as (Mtot/4, 4) rows: 1-column
     # TPU gathers lower to the slow scalar path (~15 ms / 2M lookups),
     # multi-column row gathers run ~1.6x faster (~9 ms); shade.resolve_hits
-    # gathers the 4-word row at ptr>>2 and selects word ptr&3.
-    m4 = max(-(-max(len(materials), 1) // 4), 1)
+    # gathers the 4-word row at ptr>>2 and selects word ptr&3. Row count
+    # sized around the XLA gather dead zone (_material_rgba_rows).
+    m4 = _material_rgba_rows(len(materials))
     mat_rgba = np.zeros(m4 * 4, dtype=np.int32)
     rgba8 = scene.palette[materials].astype(np.uint32)
     mat_rgba[: len(materials)] = (
@@ -263,6 +314,7 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         pl_mlo=jnp.asarray(tables[5]),
         pl_mhi=jnp.asarray(tables[6]),
         inst_model=inst_model,
+        pl_chunks=pl_chunks,
         obj_to_world=o2w_j,
         world_to_obj=_invert_affines(o2w_j) if len(inst_model) else jnp.zeros((0, 3, 4)),
         prev_obj_to_world=o2w_j,
@@ -291,7 +343,11 @@ def splice_model(device: DeviceScene, slot: int, geo,
     if L > lmax or n_mats > mat_cap:
         return None
     tables = build_pallas_tables(geo.flat)
-    if tables.mask_chunks > CL:
+    # The batched scene kernel bakes each model's REAL chunk count in at
+    # trace time (pl_chunks is static), so a model crossing a 1024-leaf
+    # chunk boundary cannot be spliced — rows in the new chunk would be
+    # invisible to the baked gather loop. Full rebuild instead.
+    if tables.mask_chunks > min(CL, device.pl_chunks[slot]):
         return None
 
     cell = cell_info_grid(geo.flat.leaf_grid)
