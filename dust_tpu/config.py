@@ -161,6 +161,17 @@ class RenderSettings:
     # (standard.glsl:28 AMBIENT_OCCLUSION_THRESHOLD).
     ambient_occlusion_threshold: float = 8.0
 
+    # Sun-shadow (NEE) intersector. "reference" = the reference's actual
+    # semantics: shadow rays run through the AO pipeline's intersector
+    # (ambient_occlusion.rint), which does the precise voxel DDA only
+    # within AMBIENT_OCCLUSION_THRESHOLD and reports any occupied LEAF
+    # at entry beyond it — block-granular occlusion for distant
+    # occluders (slightly conservative shadows, exactly like the
+    # reference; ~2x cheaper: no leaf-mask fetches past the threshold).
+    # "precise" = full voxel DDA over the whole ray (the round-1/2
+    # behavior; pixel-exact distant occlusion the reference never had).
+    shadow_mode: str = "reference"
+
     # DEBUG_VISUALIZE_SPATIAL_HASH (standard.glsl:26, hit.rchit:34-55):
     # render the GI cache contents directly — illuminance = cached cell
     # radiance, albedo = the leaf's average albedo.

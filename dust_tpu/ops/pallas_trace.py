@@ -49,6 +49,32 @@ LANES = 128
 # experiments via env; see tools/sweep_rows.py for the recorded sweep.
 import os as _os
 ROWS = int(_os.environ.get("DUST_PALLAS_ROWS", "8"))
+# Leaf-mask gather gating strategy for A/B experiments:
+# "" = ungated full chunk walk (the round-1/2 measured default),
+# "one" = single-cond all-in-one-chunk fast path, "span" = 4-chunk
+# window at the tile's min chunk, "chunks" = per-chunk conds.
+_MASK_GATE = {"": False, "one": True}.get(
+    _os.environ.get("DUST_MASK_GATE", ""),
+    _os.environ.get("DUST_MASK_GATE", ""))
+# March in-cell block sub-steps per iteration: K extra cheap block
+# advances for lanes staying inside the register-resident L1 cell.
+# Measured sweep (castle+teapot in-frame rays, v5e): K=1 vs 0: primary
+# 10.3->8.6, fg 6.6->5.2, ao 3.7->3.0; K=2 helps primary/shadow/fg a
+# further ~5-8% but regresses the short-range ao walk (3.0->3.6), hence
+# the per-mode default. DUST_MARCH_SUBSTEP overrides for sweeps.
+_MARCH_SUBSTEP = _os.environ.get("DUST_MARCH_SUBSTEP")
+
+
+def _substeps_for(mode: str) -> int:
+    if _MARCH_SUBSTEP is not None:
+        return int(_MARCH_SUBSTEP)
+    # Recorded sweep (ms, castle+teapot in-frame rays):
+    #   K:        0     1     2     3     5
+    #   primary  10.31  8.62  8.09  7.61  7.78
+    #   shadow    8.14  7.44  7.13  7.10   —
+    #   ao        3.69  3.00  3.55   —    3.77
+    #   fg(rough) 6.61  5.18  4.75  4.38  4.11
+    return {"ao_threshold": 1, "precise": 3, "rough": 5}.get(mode, 2)
 
 
 class PallasTables(NamedTuple):
@@ -182,6 +208,40 @@ def _gather_chunked(tab_ref, idx, nchunks, gate=False, base=0):
                 cand = jnp.take_along_axis(trow, lane, axis=1)
                 out = jnp.where((chunk == c) & (row == r), cand, out)
         return out
+
+    if gate == "span":
+        # Walk a static 4-chunk window starting at the tile's min chunk
+        # (2 reductions + 1 cond); incoherent tiles spanning more fall
+        # back to the full walk. Coherent tiles usually span 1-2 chunks.
+        cmin = jnp.min(chunk)
+        cmax = jnp.max(chunk)
+
+        def span4():
+            out = jnp.zeros(shape, jnp.int32)
+            for c in range(4):
+                # Clamp the load index (cmin may sit near the table end);
+                # the row match below still keys on the true chunk id.
+                t = tab_ref[base + jnp.minimum(cmin + c, nchunks - 1)]
+                for r in range(8):
+                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
+                    cand = jnp.take_along_axis(trow, lane, axis=1)
+                    out = jnp.where((chunk == cmin + c) & (row == r), cand,
+                                    out)
+            return out
+
+        def full():
+            out = jnp.zeros(shape, jnp.int32)
+            for c in range(nchunks):
+                t = tab_ref[base + c]
+                for r in range(8):
+                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
+                    cand = jnp.take_along_axis(trow, lane, axis=1)
+                    out = jnp.where((chunk == c) & (row == r), cand, out)
+            return out
+
+        if nchunks <= 4:
+            return full()
+        return jax.lax.cond(cmax - cmin < 4, span4, full)
 
     if gate == "chunks":
         # Per-chunk cond only (one ~120-cycle sync gates ~220 cycles of
@@ -412,6 +472,42 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             advance = stepping & ~newly
             s = jnp.where(advance, s_next, s)
             active = active & ~(stepping & (s >= s_end) & ~newly)
+
+            for _ss in range(_substeps_for(mode)):
+                # In-cell block sub-step: lanes still unresolved whose
+                # next sample stays inside the cell whose L2 words are
+                # already in registers advance one more block without
+                # the L1 lookup / refresh machinery (~half the ops of a
+                # full iteration; empty-jump lanes mask through).
+                stepping2 = active & ~cand
+                se2 = s + _STEP_EPS
+                px2 = ox + dx * se2
+                py2 = oy + dy * se2
+                pz2 = oz + dz * se2
+                bx2 = jnp.clip(jnp.floor(px2 * 0.25).astype(jnp.int32),
+                               0, 63)
+                by2 = jnp.clip(jnp.floor(py2 * 0.25).astype(jnp.int32),
+                               0, 63)
+                bz2 = jnp.clip(jnp.floor(pz2 * 0.25).astype(jnp.int32),
+                               0, 63)
+                cl2 = ((bx2 >> 2) * 16 + (by2 >> 2)) * 16 + (bz2 >> 2)
+                ok2 = stepping2 & (cl2 == reg_cl) & (se2 < s_end)
+                local2 = ((bx2 & 3) << 4) | ((by2 & 3) << 2) | (bz2 & 3)
+                word2 = jnp.where(local2 < 32, w0, w1)
+                newly2 = (_bit_test_i32(word2, local2 & 31) != 0) & ok2
+                cand = cand | newly2
+                adv2 = ok2 & ~newly2
+                fx2 = bx2.astype(jnp.float32) * 4.0
+                fy2 = by2.astype(jnp.float32) * 4.0
+                fz2 = bz2.astype(jnp.float32) * 4.0
+                ex2 = jnp.abs((fx2 + p01x * 4.0 - ox) * rx)
+                ey2 = jnp.abs((fy2 + p01y * 4.0 - oy) * ry)
+                ez2 = jnp.abs((fz2 + p01z * 4.0 - oz) * rz)
+                s_exit2 = jnp.minimum(jnp.minimum(ex2, ey2), ez2)
+                s = jnp.where(adv2, jnp.maximum(s_exit2, s + _STEP_EPS),
+                              s)
+                active = active & ~(adv2 & (s >= s_end))
+
             return (active.astype(jnp.int32), s, cand.astype(jnp.int32),
                     w0, w1, reg_cl, i + jnp.int32(1))
 
@@ -510,8 +606,10 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         # overhead (matches the round-1 finding).
         in_micro = cand & active
         mrow = jnp.where(in_micro, row, 0)
-        mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks, base=mask_base)
-        mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks, base=mask_base)
+        mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks,
+                                  gate=_MASK_GATE, base=mask_base)
+        mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks,
+                                  gate=_MASK_GATE, base=mask_base)
 
         s_m = jnp.maximum(s, s_min)
         pmx = ox + dx * s_m
@@ -637,8 +735,10 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             active_i2, s, ao_t = args
             active = active_i2 != 0
             mrow = jnp.where(in_micro, row, 0)
-            mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks, base=mask_base)
-            mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks, base=mask_base)
+            mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks,
+                                      gate=_MASK_GATE, base=mask_base)
+            mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks,
+                                      gate=_MASK_GATE, base=mask_base)
 
             s_m = jnp.maximum(s, s_min)
             pmx = ox + dx * s_m

@@ -278,11 +278,34 @@ def render_frame(
     direct = mat_emissive  # deterministic emission joins the direct channel
     if settings.contribution_direct:
         facing = (jnp.sum(normal * sun_dir, axis=-1) > 0.0) & hit
-        shadow = trace(
-            scene, hit_loc, shard(jnp.broadcast_to(sun_dir, (n, 3))),
-            0.1, jnp.where(facing, 10000.0, -1.0), "precise",
-        )
-        unoccluded = facing & ~shadow.hit
+        sun_rays = shard(jnp.broadcast_to(sun_dir, (n, 3)))
+        s_tmax = jnp.where(facing, 10000.0, -1.0)
+        sthr = settings.ambient_occlusion_threshold
+        if settings.shadow_mode == "reference":
+            # The reference shoots its sun-NEE rays through the AO
+            # pipeline (standard.rs:557-617 + ambient_occlusion.rint):
+            # precise voxel DDA within the 8-unit threshold, any
+            # occupied LEAF reports at entry beyond it. Block-granular
+            # distant occlusion, and no leaf-mask fetches past the
+            # threshold (~2x cheaper than the precise 10000-unit walk).
+            if use_pallas and ray_sharding is None:
+                from dust_tpu.ops.pallas_trace import (
+                    trace_scene_pallas_ao_fg)
+                s_ao, s_fg = trace_scene_pallas_ao_fg(
+                    scene, hit_loc, sun_rays, 0.1,
+                    jnp.where(facing, sthr, -1.0), s_tmax)
+                occluded = s_ao.hit | s_fg.hit
+            else:
+                s_near = trace(scene, hit_loc, sun_rays, 0.1,
+                               jnp.where(facing, sthr, -1.0),
+                               "ao_threshold")
+                s_far = trace(scene, hit_loc, sun_rays, sthr, s_tmax,
+                              "rough")
+                occluded = s_near.hit | s_far.hit
+        else:  # "precise": pixel-exact occlusion at any distance
+            occluded = trace(scene, hit_loc, sun_rays, 0.1, s_tmax,
+                             "precise").hit
+        unoccluded = facing & ~occluded
         strength = skylib.sun_radiance(sky_state, sun_dir[None])[0] * (
             1.0 - jnp.cos(sky_state.solar_radius)
         )
