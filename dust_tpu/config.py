@@ -86,6 +86,12 @@ class DenoiserSettings:
     # edges; splitting keeps shadows pixel-sharp and cuts the denoiser's
     # gather/filter cost 4x. Requires even width/height (else full-res).
     half_res_indirect: bool = True
+    # Full-resolution path only: route only the stochastic indirect
+    # through the temporal chain (like the half-res path) instead of the
+    # reference-lumped direct+indirect feed. Isolates the RESOLUTION
+    # error when comparing half-res against full-res (the quality gate in
+    # tests/test_quality.py); the lumped default keeps NRD-input parity.
+    split_direct: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,6 +33,8 @@ BASELINE.md: ≈9 M rays/frame at 1080p):
 
 from __future__ import annotations
 
+import dataclasses
+
 from functools import partial
 from typing import NamedTuple
 
@@ -263,6 +265,9 @@ def render_frame(
     hit = g["hit"]
 
     dirs_n = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # (A quarter-res sky eval + bilinear upsample was measured: the
+    # upsample's conv/relayout chain costs MORE than the saved eval —
+    # the Hosek eval itself is already mostly cheap VPU math.)
     sky_primary = skylib.sky_radiance(sky_state, dirs_n) + skylib.sun_radiance(
         sky_state, dirs_n
     )
@@ -587,18 +592,33 @@ def render_frame(
         acc_hd = from_tiles(hitdist)
         new_den = state.denoiser
     elif not half:
-        # Reference-lumped path: direct + indirect through the denoiser
-        # together (what NRD REBLUR receives in standard.rs).
-        denoised, acc_hd, new_den = denoiselib.denoise(
-            state.denoiser,
-            from_tiles(radiance_img),
-            from_tiles(hitdist),
-            dep2, nor2,
-            from_tiles(g["world_pos"]),
-            from_tiles(g["motion"]),
-            state.prev_view_proj,
-            settings.denoiser,
-        )
+        if settings.denoiser.split_direct:
+            # Full-res split: only the stochastic indirect rides the
+            # temporal chain; deterministic direct composes after — the
+            # same estimator as the half-res path at full resolution
+            # (the resolution-error control in tests/test_quality.py).
+            ind2 = from_tiles(jnp.where(hit[:, None], illum, 0.0))
+            den_i, acc_hd, new_den = denoiselib.denoise(
+                state.denoiser, ind2, from_tiles(hitdist), dep2, nor2,
+                from_tiles(g["world_pos"]), from_tiles(g["motion"]),
+                state.prev_view_proj, settings.denoiser,
+            )
+            valid2 = jnp.isfinite(dep2)
+            denoised = jnp.where(valid2[..., None], den_i, 0.0) + from_tiles(
+                jnp.where(hit[:, None], direct, sky_out))
+        else:
+            # Reference-lumped path: direct + indirect through the
+            # denoiser together (what NRD REBLUR receives in standard.rs).
+            denoised, acc_hd, new_den = denoiselib.denoise(
+                state.denoiser,
+                from_tiles(radiance_img),
+                from_tiles(hitdist),
+                dep2, nor2,
+                from_tiles(g["world_pos"]),
+                from_tiles(g["motion"]),
+                state.prev_view_proj,
+                settings.denoiser,
+            )
     else:
         # Half-res indirect: only the stochastic channel pays for the
         # temporal chain; the zero-variance sun NEE composes at full res
@@ -607,9 +627,16 @@ def render_frame(
         rh, hh, dh, nh, wh, mh = denoiselib.downsample_inputs(
             ind2, from_tiles(hitdist), dep2, nor2,
             from_tiles(g["world_pos"]), from_tiles(g["motion"]))
+        # One fewer a-trous iteration at half res: N iterations span
+        # 2^N half-pixels = 2^(N+1) FULL pixels, so running the full-res
+        # count doubles the blur footprint in world terms (measured as a
+        # ~2x interior RMSE penalty vs the full-res path).
+        den_settings = dataclasses.replace(
+            settings.denoiser,
+            atrous_iterations=max(settings.denoiser.atrous_iterations - 1, 1))
         den_h, hd_h, new_den = denoiselib.denoise(
             state.denoiser, rh, hh, dh, nh, wh, mh,
-            state.prev_view_proj, settings.denoiser,
+            state.prev_view_proj, den_settings,
         )
         ind_full, acc_hd = denoiselib.upsample_bilateral(
             den_h, hd_h, dh, nh, dep2, nor2)

@@ -1,0 +1,186 @@
+"""Converged-ground-truth quality gates (BASELINE.md "<=1% RMSE" proxy).
+
+``tools/gen_ground_truth.py`` renders 512 accumulated raw-radiance
+frames of the static canonical scene (castle + teapot at rest) and
+checks the mean in as ``tests/golden/castle_gt_256x256.npz`` (+ the
+tonemapped >=256x256 golden PNG). These tests re-render a handful of
+frames on CPU and assert the pipeline's approximations stay within
+recorded RMSE bounds of that converged signal:
+
+* the denoised 1-frame output (temporal+a-trous REBLUR replacement),
+* the half-res-indirect split vs the full-res denoiser path,
+* the dense GI cache vs the reference-style spatial hash.
+
+Every bound is ~1.5x the value measured when the ground truth was
+recorded, so a quality regression (not just noise drift) fails.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dust_tpu.ops import tonemap as tonemaplib
+from dust_tpu.ops.noise import load_blue_noise
+from dust_tpu.ops.sky import bake_sky
+from dust_tpu.render.pipeline import make_frame_state, render_frame
+from dust_tpu.render.scene import build_device_scene
+from dust_tpu.vox import procgen
+from dust_tpu.vox.loader import load_vox_scene
+from tests.quality_setup import gt_camera, gt_settings
+
+GT_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                       "castle_gt_256x256.npz")
+
+# Recorded bounds = ~1.5x the values measured when the ground truth was
+# generated (2026-08-17, 512 frames @256x256): denoised-vs-GT 0.0308,
+# full-res(lumped)-vs-GT 0.0256, hash-vs-GT 0.0309.
+RMSE_DENOISED = 0.045
+HALF_RES_EXTRA = 0.008      # extra RMSE half-res may cost vs full-res
+RMSE_HALF_CONVERGED = 0.040  # steady-state half-res low-pass bias bound
+RMSE_DENSE = 0.045
+RMSE_HASH = 0.045
+
+FRAMES = 16
+CONV_FRAMES = 32    # frames for the converged-mean comparisons
+CONV_AVG = 16       # ... of which the last N are averaged
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
+
+
+@pytest.fixture(scope="module")
+def gt():
+    if not os.path.exists(GT_PATH):
+        pytest.skip("ground truth not generated "
+                    "(tools/gen_ground_truth.py)")
+    return np.load(GT_PATH)
+
+
+@pytest.fixture(scope="module")
+def rig(gt):
+    W, H = int(gt["width"]), int(gt["height"])
+    vox_scene = load_vox_scene(procgen.castle_scene_bytes())
+    procgen.add_teapot(vox_scene)
+    scene = build_device_scene(vox_scene)
+    sky = bake_sky(gt_settings(W, H).sunlight)
+    bn = load_blue_noise()
+    return W, H, scene, sky, bn
+
+
+def _render(rig_t, gt, frames=FRAMES, avg_last=0, **overrides):
+    """Render ``frames`` frames; return the final frame's denoised
+    radiance tonemapped with the GT's converged exposure (so exposure
+    adaptation transients don't pollute the comparison). With
+    ``avg_last=N`` returns ``(final, mean-of-last-N)`` instead — the
+    time-averaged output cancels per-frame stochastic noise, exposing
+    only systematic estimator bias."""
+    W, H, scene, sky, bn = rig_t
+    settings = gt_settings(W, H, **overrides)
+    state = make_frame_state(settings, scene)
+    acc, cnt = 0.0, 0
+    for f in range(frames):
+        out, aux, state = render_frame(
+            scene, state, gt_camera(settings, W, H), sky,
+            bn.unitvec3_cosine, bn.scalar, settings,
+        )
+        if avg_last and f >= frames - avg_last:
+            acc = acc + np.asarray(tonemaplib.tonemap(
+                jnp.asarray(aux["denoised"]), jnp.asarray(aux["albedo"]),
+                jnp.asarray(float(gt["exposure"])), transfer="srgb"))
+            cnt += 1
+    final = np.asarray(tonemaplib.tonemap(
+        jnp.asarray(aux["denoised"]), jnp.asarray(aux["albedo"]),
+        jnp.asarray(float(gt["exposure"])), transfer="srgb"))
+    if avg_last:
+        return final, acc / cnt
+    return final
+
+
+@pytest.fixture(scope="module")
+def dense_run(rig, gt):
+    """(final frame, converged mean) of the default half-res path."""
+    return _render(rig, gt, frames=CONV_FRAMES, avg_last=CONV_AVG)
+
+
+@pytest.fixture(scope="module")
+def full_split_run(rig, gt):
+    """(final, converged mean) of the full-res split-direct control."""
+    from dust_tpu.config import DenoiserSettings
+    return _render(rig, gt, frames=CONV_FRAMES, avg_last=CONV_AVG,
+                   denoiser=DenoiserSettings(half_res_indirect=False,
+                                             split_direct=True))
+
+
+@pytest.fixture(scope="module")
+def dense_out(dense_run):
+    return dense_run[0]
+
+
+def test_gt_artifacts_consistent(gt):
+    """The checked-in tonemapped golden equals tonemap(radiance) at the
+    recorded exposure — guards against a stale npz/png pair."""
+    redo = np.asarray(tonemaplib.tonemap(
+        jnp.asarray(gt["radiance"]), jnp.asarray(gt["albedo"]),
+        jnp.asarray(float(gt["exposure"])), transfer="srgb"))
+    assert _rmse(redo, gt["output"]) < 1e-5
+
+
+def test_denoised_rmse_vs_ground_truth(dense_out, gt):
+    """One denoised frame (after temporal warmup) must sit close to the
+    512-frame converged signal — the NRD-replacement quality gate."""
+    r = _rmse(dense_out, gt["output"])
+    assert r < RMSE_DENOISED, f"denoised RMSE {r:.4f}"
+
+
+def test_half_res_indirect_vs_full_res(rig, gt, dense_run,
+                                       full_split_run):
+    """Half-res indirect must not degrade quality at the real-time
+    operating point: after warmup, a denoised frame from the half-res
+    path must sit within ``HALF_RES_EXTRA`` *additional* RMSE of the
+    converged ground truth compared to the full-res control (the SAME
+    estimator — indirect-only temporal chain, ``split_direct=True`` —
+    at full resolution). Measured at recording time: half 0.0308 vs
+    full-split 0.026 ⇒ +0.005; the bound is ~1.5x that.
+
+    Why not a direct half-vs-full RMSE gate: at any finite frame count
+    the two paths carry *independent* stochastic noise, so their mutual
+    distance floors at sqrt(sigma_h^2+sigma_f^2) ≈ 3.7% regardless of
+    quality; and their 24-frame converged means still differ by ~3.2%,
+    which is the irreducible low-pass of a half-resolution estimator
+    (upsample(downsample(GI)) != GI), not a defect the denoiser can fix.
+    ``test_half_res_converged_bias`` pins that steady-state bias as a
+    regression bound instead."""
+    from dust_tpu.config import DenoiserSettings
+    rh = _rmse(dense_run[0], gt["output"])
+    rf = _rmse(full_split_run[0], gt["output"])
+    assert rh - rf < HALF_RES_EXTRA, \
+        f"half-res costs {rh - rf:.4f} extra RMSE (half {rh:.4f} vs " \
+        f"full {rf:.4f})"
+    # The reference-lumped full-res path stays within the GT gate too.
+    full = _render(rig, gt,
+                   denoiser=DenoiserSettings(half_res_indirect=False))
+    rlf = _rmse(full, gt["output"])
+    assert rlf < RMSE_DENOISED, f"full-res RMSE {rlf:.4f}"
+
+
+def test_half_res_converged_bias(dense_run, full_split_run):
+    """Steady-state systematic bias of the half-res path: the 16-frame
+    means of both paths (per-frame noise cancelled) must stay within the
+    recorded low-pass bound. Measured at recording time: 0.032 — the
+    spatial detail a half-resolution GI estimator cannot represent."""
+    r = _rmse(dense_run[1], full_split_run[1])
+    assert r < RMSE_HALF_CONVERGED, f"converged half-res bias {r:.4f}"
+
+
+def test_dense_vs_hash_gi_bias(rig, gt, dense_out):
+    """Both GI cache backends must converge toward the same signal: the
+    dense re-key is a TPU-first reformulation, not a different
+    estimator."""
+    hash_out = _render(rig, gt, gi_cache="hash")
+    rd = _rmse(dense_out, gt["output"])
+    rh = _rmse(hash_out, gt["output"])
+    assert rd < RMSE_DENSE, f"dense RMSE {rd:.4f}"
+    assert rh < RMSE_HASH, f"hash RMSE {rh:.4f}"
