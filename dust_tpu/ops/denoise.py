@@ -174,6 +174,10 @@ def _fetch_history(history: jnp.ndarray, xy: jnp.ndarray):
     h, w = history.shape[:2]
     right = jnp.concatenate([history[:, 1:], history[:, -1:]], axis=1)
     pair = jnp.concatenate([history, right], axis=-1).reshape(h * w, 2 * _C)
+    # Force ONE materialisation: XLA otherwise rematerialises the 12 B/px
+    # paired array separately into each of the two row gathers below
+    # (measured 2×2.5 ms at 1080p-half instead of 1×).
+    pair = jax.lax.optimization_barrier(pair)
 
     x = jnp.clip(xy[..., 0] - 0.5, 0.0, w - 1.0)
     y = jnp.clip(xy[..., 1] - 0.5, 0.0, h - 1.0)
@@ -227,7 +231,10 @@ def downsample_inputs(radiance, hitdist, depth, normal, world_pos, motion):
     path: validity-weighted 2×2 means (sum pools — no strided slicing).
     Quads mixing two surfaces produce blended geometry; the temporal
     validity tests and the upsample's geometry gate reject those taps,
-    so the cost of averaging is shorter history at edges, not leaks."""
+    so the cost of averaging is shorter history at edges, not leaks.
+    (A min-depth representative-surface variant was measured and did NOT
+    improve edge RMSE vs the full-res control — the residual edge error
+    lives in the upsample, not the downsample.)"""
     valid = jnp.isfinite(depth)
     w = valid.astype(jnp.float32)
     ws = _pool2(w)
@@ -273,12 +280,16 @@ def _up2_both(x):
         [k2b[:, :, None, None] * eye, k2n[:, :, None, None] * eye],
         axis=-1)                                       # (4,4,c,2c)
     # (An explicit bf16 cast was measured neutral — XLA already runs the
-    # conv's operands in bf16 internally.)
+    # conv's operands in bf16 internally.) NCHW output: the consumers
+    # read per-channel planes, and an NHWC conv result gets relayouted
+    # channel-planar anyway (a 1.7 ms copy at 1080p); asking the conv
+    # for channel-major output directly lets the moveaxis below be a
+    # layout view instead.
     out = jax.lax.conv_general_dilated(
         x[None], k, window_strides=(1, 1), padding=((2, 2), (2, 2)),
-        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NCHW"),
     )[0]
-    return out[: 2 * h, : 2 * wdt]
+    return jnp.moveaxis(out, 0, -1)[: 2 * h, : 2 * wdt]
 
 
 def upsample_bilateral(img_half, hd_half, depth_half, normal_half,

@@ -59,16 +59,23 @@ def resolve_hits(scene, res, origin_w, dir_w):
     lmax = scene.mask_lo.shape[1]
     flat_row = model * lmax + jnp.maximum(res.row, 0)
 
-    # One narrow row gather for all per-leaf attributes (TPU gather cost
-    # scales with row bytes: origin packed 3x u8 into one word).
-    attr = jnp.take(scene.leaf_attr, flat_row, axis=0)
-    po = attr[:, 0].astype(jnp.uint32)
-    leaf_origin = jnp.stack(
-        [po & 0xFF, (po >> 8) & 0xFF, (po >> 16) & 0xFF], axis=-1
-    ).astype(jnp.int32)
-    mask_lo = attr[:, 1].astype(jnp.uint32)
-    mask_hi = attr[:, 2].astype(jnp.uint32)
-    mat_ptr = attr[:, 3]
+    # ONE row gather for everything primary shading needs: the
+    # denormalised voxel_attr table (16 voxels per 64 B row) replaces
+    # the reference's two-step leaf_attr -> popcount -> material_rgba
+    # chain (hit.rchit:59-71); the popcount compaction is pre-applied
+    # host-side. 64 B rows are free (gather cost is per row) and the
+    # word select below fuses into the gather's consumer.
+    bit = jnp.maximum(res.bit, 0)
+    vid = flat_row * 64 + bit
+    prow = jnp.take(scene.voxel_attr, vid >> 4, axis=0, mode="clip")
+    # Exactly-one-hot select expressed as a masked minor-axis sum: a
+    # where-chain over prow[:, c] column slices makes XLA transpose the
+    # (N,16) gather output to channel-planar first (~3 ms of relayout);
+    # the masked reduce fuses into the gather consumer in row-major.
+    w16 = vid & 15
+    rgba = jnp.sum(
+        jnp.where(w16[:, None] == jnp.arange(16, dtype=jnp.int32), prow, 0),
+        axis=1).astype(jnp.uint32)
 
     # Object-space hit point: transform the world ray per instance.
     o_obj = _inst_xform(scene.world_to_obj, inst, origin_w, True)
@@ -77,8 +84,18 @@ def resolve_hits(scene, res, origin_w, dir_w):
     hit_obj = o_obj + d_obj * t[:, None]
 
     # Voxel bit -> offset in box (hit.rchit:21).
-    bit = jnp.maximum(res.bit, 0)
     off = jnp.stack([(bit >> 4) & 3, (bit >> 2) & 3, bit & 3], axis=-1)
+    # Leaf origin reconstructed from the hit point instead of a table
+    # column: step 0.05 voxels INTO the hit voxel, floor, subtract the
+    # exact in-leaf offset, and snap to the leaf lattice. The hit point
+    # sits on the voxel's entry face with ≲1e-4 fp error, so the floored
+    # estimate is off by at most ±1 per component — and the true value
+    # is a multiple of 4, so round-to-nearest-multiple-of-4 recovers it
+    # exactly.
+    dlen = jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
+    p_in = hit_obj + d_obj / jnp.maximum(dlen, 1e-20) * 0.05
+    vhat = jnp.floor(p_in).astype(jnp.int32)
+    leaf_origin = ((vhat - off + 2) >> 2) << 2
     box_center = leaf_origin.astype(jnp.float32) + off.astype(jnp.float32) + 0.5
 
     normal_obj = pk.cubed_normalize(hit_obj - box_center)
@@ -86,32 +103,8 @@ def resolve_hits(scene, res, origin_w, dir_w):
     nlen = jnp.linalg.norm(normal_w, axis=-1, keepdims=True)
     normal_w = normal_w / jnp.maximum(nlen, 1e-8)
 
-    # Popcount-compacted palette lookup (hit.rchit:59-71).
-    below_lo = jnp.where(
-        bit < 32,
-        mask_lo & ((jnp.uint32(1) << jnp.minimum(bit, 31).astype(jnp.uint32)) - 1),
-        mask_lo,
-    )
-    below_hi = jnp.where(
-        bit >= 32,
-        mask_hi & ((jnp.uint32(1) << jnp.clip(bit - 32, 0, 31).astype(jnp.uint32)) - 1),
-        jnp.uint32(0),
-    )
-    offset = _popcount32(below_lo) + _popcount32(below_hi)
-    # material_rgba = palette[materials] precomputed host-side into ONE
-    # word per voxel (R|G<<8|B<<16|palette_idx<<24): one gather yields
-    # color + index together. Alpha needs no bits — hit.rchit forces A=1
-    # on hits and misses use 1.0. The table is stored (Mtot/4, 4) because
-    # single-column TPU gathers take the slow scalar path (measured 15 ms
-    # vs 9 ms per 2M lookups): fetch the 4-word row, select word ptr&3.
-    ptr = jnp.clip(mat_ptr + offset, 0,
-                   scene.material_rgba.shape[0] * 4 - 1)
-    mrow = jnp.take(scene.material_rgba, ptr >> 2, axis=0, mode="clip")
-    mcol = ptr & 3
-    rgba = mrow[:, 0]
-    for c in range(1, 4):
-        rgba = jnp.where(mcol == c, mrow[:, c], rgba)
-    rgba = rgba.astype(jnp.uint32)
+    # rgba = R|G<<8|B<<16|palette_idx<<24 (already popcount-compacted
+    # into the voxel_attr row above).
     palette_idx = ((rgba >> 24) & 0xFF).astype(jnp.int32)
     albedo = jnp.stack(
         [rgba & 0xFF, (rgba >> 8) & 0xFF, (rgba >> 16) & 0xFF,

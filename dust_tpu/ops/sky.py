@@ -137,9 +137,10 @@ def sky_radiance(state: SkyModelState, dirs: jnp.ndarray) -> jnp.ndarray:
     c = state.configs  # (3, 9)
     exp_m = jnp.exp(c[:, 4] * gamma[..., None])
     ray_m = (cos_gamma * cos_gamma)[..., None]
-    mie = (1.0 + ray_m) / jnp.power(
-        1.0 + c[:, 8] ** 2 - 2.0 * c[:, 8] * cos_gamma[..., None], 1.5
-    )
+    # d^1.5 written as d*sqrt(d): jnp.power lowers to exp(1.5*log(d)) on
+    # the VPU, ~3x the cost of a sqrt+mul at identical precision.
+    mie_d = 1.0 + c[:, 8] ** 2 - 2.0 * c[:, 8] * cos_gamma[..., None]
+    mie = (1.0 + ray_m) / (mie_d * jnp.sqrt(mie_d))
     zenith = jnp.sqrt(cos_theta)[..., None]
     xyz = (
         (1.0 + c[:, 0] * jnp.exp(c[:, 1] / (cos_theta[..., None] + 0.01)))

@@ -109,6 +109,18 @@ class DeviceScene:
     leaf_attr: jnp.ndarray      # (M*Lmax, 4) int32
     # [ox|oy<<8|oz<<16, avg_albedo] (final_gather/surfel.rchit needs).
     leaf_attr_fg: jnp.ndarray   # (M*Lmax, 2) int32
+    # UNCOMPACTED per-voxel shading rows, 16 voxels per 64 B row
+    # (row = (flat_row*64+bit) >> 4, word = bit & 15). Denormalises
+    # material_rgba through the popcount compaction so primary shading
+    # pays ONE row gather instead of leaf_attr + material_rgba (two 2M
+    # gathers + a popcount chain). Row geometry is deliberate: 64 B is
+    # the widest free row (gather cost is per ROW), and M*Lmax*4 rows
+    # keeps castle-scale scenes under the ~220k-row threshold where TPU
+    # row gathers run ~2.5x faster than from large tables. ~3x the
+    # compacted bytes, traded against abundant HBM; the compacted tables
+    # stay for the hash-GI path (hit.rchit:59-71 is the compaction spec
+    # this denormalises).
+    voxel_attr: jnp.ndarray     # (M*Lmax*4, 16) int32
     # Pallas traversal tables (stacked over models; see ops/pallas_trace).
     pl_l1: jnp.ndarray          # (M, 8, 128) int32 packed L1 skip nibbles
     pl_l2w0: jnp.ndarray        # (M, 4, 8, 128) int32
@@ -203,6 +215,25 @@ def _material_rgba_rows(n_entries: int) -> int:
     return rows
 
 
+def _build_voxel_attr(mask_lo, mask_hi, matptr, mat_words):
+    """Denormalised per-voxel shading rows (see DeviceScene.voxel_attr).
+
+    ``mask_lo/hi/matptr``: flat (R,) per-leaf-row arrays; ``mat_words``:
+    the flat packed material_rgba words the pointers index. Returns
+    (R*4, 16) int32 — 16 voxels per row in bit order.
+    """
+    R = mask_lo.shape[0]
+    m64 = (mask_hi.astype(np.uint64) << np.uint64(32)) | mask_lo.astype(
+        np.uint64)
+    occ = ((m64[:, None] >> np.arange(64, dtype=np.uint64)) &
+           np.uint64(1)).astype(np.int32)
+    below = np.cumsum(occ, axis=1, dtype=np.int32) - occ
+    midx = np.minimum(matptr[:, None].astype(np.int64) + below,
+                      len(mat_words) - 1)
+    rgba = np.where(occ.astype(bool), mat_words[midx], np.int32(0))
+    return np.ascontiguousarray(rgba.reshape(R * 4, 16))
+
+
 def build_device_scene(scene: VoxScene) -> DeviceScene:
     """Assemble a :class:`DeviceScene` from a loaded ``.vox`` scene."""
     from dust_tpu.ops.pallas_trace import build_pallas_tables, stack_tables
@@ -285,6 +316,9 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
     leaf_attr_fg = np.zeros((M * lmax, 2), dtype=np.int32)
     leaf_attr_fg[:, 0] = packed_origin
     leaf_attr_fg[:, 1] = albedo.reshape(-1).view(np.int32)
+    voxel_attr = _build_voxel_attr(
+        mask_lo.reshape(-1), mask_hi.reshape(-1), matptr.reshape(-1),
+        mat_rgba.reshape(-1))
 
     inst_model = tuple(id_to_slot[inst.model_id] for inst in scene.instances)
     o2w = np.stack([inst.transform[:3, :4] for inst in scene.instances]).astype(
@@ -306,6 +340,7 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         model_aabb_max=jnp.asarray(ab_max),
         leaf_attr=jnp.asarray(leaf_attr),
         leaf_attr_fg=jnp.asarray(leaf_attr_fg),
+        voxel_attr=jnp.asarray(voxel_attr),
         pl_l1=jnp.asarray(tables[0]),
         pl_l2w0=jnp.asarray(tables[1]),
         pl_l2w1=jnp.asarray(tables[2]),
@@ -380,6 +415,10 @@ def splice_model(device: DeviceScene, slot: int, geo,
     lafg = np.zeros((lmax, 2), dtype=np.int32)
     lafg[:, 0] = packed_origin
     lafg[:, 1] = alb.view(np.int32)
+    # Voxel rows index the model-LOCAL material words (mp carries the
+    # global base; the local table is the same words at local offsets).
+    va = _build_voxel_attr(ml, mh, np.where(ml | mh, mp - mat_base, 0),
+                           seg_rgba)
 
     if L:
         abmin = geo.flat.leaf_origin.min(axis=0).astype(np.float32)
@@ -398,7 +437,7 @@ def splice_model(device: DeviceScene, slot: int, geo,
         material_ptr=mp, avg_albedo=alb, materials=seg,
         material_rgba=seg_rgba.reshape(-1, 4),
         model_aabb_min=abmin, model_aabb_max=abmax,
-        leaf_attr=la, leaf_attr_fg=lafg,
+        leaf_attr=la, leaf_attr_fg=lafg, voxel_attr=va,
         pl_l1=tables.l1, pl_l2w0=tables.l2_w0, pl_l2w1=tables.l2_w1,
         pl_l2r0=tables.l2_r0, pl_l2r1=tables.l2_r1,
         pl_mlo=mlo_pad, pl_mhi=mhi_pad,
@@ -431,4 +470,6 @@ def _apply_splice(device, updates, slot, mat_base, mat_cap, lmax):
     repl["leaf_attr"] = device.leaf_attr.at[r0:r1].set(u["leaf_attr"])
     repl["leaf_attr_fg"] = device.leaf_attr_fg.at[r0:r1].set(
         u["leaf_attr_fg"])
+    repl["voxel_attr"] = device.voxel_attr.at[r0 * 4:r1 * 4].set(
+        u["voxel_attr"])
     return device._replace(**repl)
