@@ -110,6 +110,10 @@ class SpatialHashSettings:
     # Cell size in world units: leaves are 4 voxels wide and keys are
     # quantised leaf centres / 4 (final_gather.rchit:43).
     cell_size: float = 4.0
+    # Max unique cells scattered into the table per insert batch (the
+    # scatter is row-count bound; overflow defers deterministically to
+    # later frames — spatial_hash.hash_insert). 0 = uncapped.
+    insert_cap: int = 1 << 17
 
 
 @dataclasses.dataclass(frozen=True)

@@ -168,16 +168,20 @@ def _project(view_proj: jnp.ndarray, pos: jnp.ndarray, width: int, height: int):
 
 def _fetch_history(history: jnp.ndarray, xy: jnp.ndarray):
     """Bilinear-corner fetch: returns the four (..., _C) packed-u32 corner
-    rows and the (fx, fy) fractions. Two gathers total: rows are pre-paired
-    with their right neighbor (24 B rows), so row y0 yields corners 00 & 01
-    and row y0+1 yields 10 & 11."""
+    rows and the (fx, fy) fractions. ONE gather total: each pixel's row is
+    pre-concatenated with its right / down / down-right neighbors (48 B
+    rows — row width is nearly free, rows are what gathers pay for), so
+    the quad row at (y0, x0) carries all four bilinear corners. Measured
+    ~1.5 ms/frame over the two 24 B pair-row gathers it replaces."""
     h, w = history.shape[:2]
     right = jnp.concatenate([history[:, 1:], history[:, -1:]], axis=1)
-    pair = jnp.concatenate([history, right], axis=-1).reshape(h * w, 2 * _C)
-    # Force ONE materialisation: XLA otherwise rematerialises the 12 B/px
-    # paired array separately into each of the two row gathers below
-    # (measured 2×2.5 ms at 1080p-half instead of 1×).
-    pair = jax.lax.optimization_barrier(pair)
+    down = jnp.concatenate([history[1:], history[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    quad = jnp.concatenate([history, right, down, downright],
+                           axis=-1).reshape(h * w, 4 * _C)
+    # Force ONE materialisation: XLA otherwise risks rematerialising the
+    # 48 B/px array into each consumer (measured on the old pair layout).
+    quad = jax.lax.optimization_barrier(quad)
 
     x = jnp.clip(xy[..., 0] - 0.5, 0.0, w - 1.0)
     y = jnp.clip(xy[..., 1] - 0.5, 0.0, h - 1.0)
@@ -186,9 +190,9 @@ def _fetch_history(history: jnp.ndarray, xy: jnp.ndarray):
     fx = x - x0
     fy = y - y0
 
-    r0 = jnp.take(pair, y0 * w + x0, axis=0)
-    r1 = jnp.take(pair, (y0 + 1) * w + x0, axis=0)
-    return (r0[..., :_C], r0[..., _C:], r1[..., :_C], r1[..., _C:]), fx, fy
+    r = jnp.take(quad, y0 * w + x0, axis=0)
+    return (r[..., :_C], r[..., _C:2 * _C], r[..., 2 * _C:3 * _C],
+            r[..., 3 * _C:]), fx, fy
 
 
 def _local_moments(img: jnp.ndarray):

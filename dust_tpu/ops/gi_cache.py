@@ -47,7 +47,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "DenseGICache", "make_dense_gi_cache", "dense_rows", "dense_index",
-    "dense_get", "dense_update", "dense_update_slice", "MAX_SAMPLE_COUNT",
+    "dense_get", "dense_update", "dense_update_slice", "pack_working_set",
+    "MAX_SAMPLE_COUNT",
 ]
 
 MAX_SAMPLE_COUNT = 404  # spatial_hash.glsl:179
@@ -86,15 +87,34 @@ def dense_rows(scene) -> int:
     return scene.num_instances * lmax * 6
 
 
+def _albedo_words(scene) -> jnp.ndarray:
+    """Per-(instance, leaf, face) albedo word — 6 faces share the leaf's
+    average albedo (R10G10B10A2)."""
+    inst_model = jnp.asarray(scene.inst_model, jnp.int32)
+    alb = scene.avg_albedo[inst_model].reshape(-1)       # (I*lmax,) u32
+    return jnp.repeat(alb, 6).astype(jnp.uint32)
+
+
 def make_dense_gi_cache(scene) -> DenseGICache:
     """Zero-radiance cache with each row's albedo word pre-filled from
     the scene's per-leaf average albedo (6 faces share the leaf's)."""
-    inst_model = jnp.asarray(scene.inst_model, jnp.int32)
-    alb = scene.avg_albedo[inst_model].reshape(-1)       # (I*lmax,) u32
-    alb6 = jnp.repeat(alb, 6).astype(jnp.uint32)
+    alb6 = _albedo_words(scene)
     zeros = jnp.zeros_like(alb6)
     return DenseGICache(table=jax.lax.bitcast_convert_type(
         jnp.stack([zeros, zeros, alb6], axis=-1), jnp.int32))
+
+
+def pack_working_set(radiance: jnp.ndarray, count: jnp.ndarray,
+                     scene) -> DenseGICache:
+    """Pack per-(instance, leaf, face) radiance + sample counts into
+    dense-cache rows (the hash mode's per-frame working set: ray-side
+    GI reads become the same small-table gather as dense mode — see
+    render/pipeline.py's hash branch)."""
+    cnt = jnp.clip(count, 0, MAX_SAMPLE_COUNT).astype(jnp.uint32)
+    w0 = _f16_bits(radiance[:, 0]) | (_f16_bits(radiance[:, 1]) << 16)
+    w1 = _f16_bits(radiance[:, 2]) | (cnt << 16)
+    return DenseGICache(table=jax.lax.bitcast_convert_type(
+        jnp.stack([w0, w1, _albedo_words(scene)], axis=-1), jnp.int32))
 
 
 def dense_index(lmax: int, inst: jnp.ndarray, row: jnp.ndarray,
@@ -112,13 +132,22 @@ def dense_get(cache: DenseGICache, idx: jnp.ndarray, valid: jnp.ndarray):
     hash_get contract (spatial_hash.glsl:200-220) without probes or
     fingerprints, plus the leaf albedo riding in the same row."""
     rows = jnp.take(cache.table, idx, axis=0).astype(jnp.uint32)
-    count = (rows[..., 1] >> 16).astype(jnp.float32)
+    # Column extraction as a masked minor-axis sum: plain ``rows[..., c]``
+    # slicing makes XLA relayout the (N,3) gather output channel-planar
+    # first (~1.4 ms/frame at 1080p); the masked reduce fuses into the
+    # gather's consumer in row-major (same trick as shade.resolve_hits).
+    col = jnp.arange(3, dtype=jnp.int32)
+
+    def pick(c):
+        return jnp.sum(jnp.where(col == c, rows, jnp.uint32(0)), axis=-1)
+
+    w0, w1, w2 = pick(0), pick(1), pick(2)
+    count = (w1 >> 16).astype(jnp.float32)
     found = valid & (count > 0)
     radiance = jnp.stack(
-        [_bits_f16(rows[..., 0]), _bits_f16(rows[..., 0] >> 16),
-         _bits_f16(rows[..., 1])], axis=-1)
+        [_bits_f16(w0), _bits_f16(w0 >> 16), _bits_f16(w1)], axis=-1)
     radiance = jnp.where(found[..., None], radiance, 0.0)
-    return found, radiance, jnp.where(found, count, 0.0), rows[..., 2]
+    return found, radiance, jnp.where(found, count, 0.0), w2
 
 
 def dense_update(cache: DenseGICache, value: jnp.ndarray,

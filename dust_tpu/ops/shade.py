@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from dust_tpu.ops import packing as pk
 from dust_tpu.vox.geometry import unpack_r10g10b10a2
 
-__all__ = ["resolve_hits", "leaf_attributes", "HitAttributes"]
+__all__ = ["resolve_hits", "leaf_attributes", "entry_face",
+           "entry_leaf_center", "HitAttributes"]
 
 
 def _popcount32(x):
@@ -179,6 +180,29 @@ def leaf_attributes(scene, res, origin_w, dir_w, cell_size: float = 4.0):
         aabb_normal=aabb_normal_w,
         avg_albedo=albedo_rgba,
     )
+
+
+def entry_leaf_center(scene, res, origin_w, dir_w):
+    """World-space center of a rough hit's leaf WITHOUT the leaf-row
+    gather: a rough hit's t is the leaf-AABB entry, so stepping 0.05
+    voxels INTO the leaf and flooring to the 4-voxel lattice recovers
+    the leaf origin (same reconstruction as resolve_hits' snap; the
+    entry axis is 0.05 clear of the boundary by construction, while a
+    grazing ray's off-axes can sit within fp-eps of a leaf edge — a
+    ~1e-6 fraction of rays keys a neighbouring cell, bounded by the
+    hash-vs-GT quality gate). Feeds the hash-mode surfel enqueue
+    (final_gather.rchit:42-44 computes the same center from the gathered
+    leaf origin)."""
+    hit = res.inst >= 0
+    inst = jnp.maximum(res.inst, 0)
+    o_obj = _inst_xform(scene.world_to_obj, inst, origin_w, True)
+    d_obj = _inst_xform(scene.world_to_obj, inst, dir_w, False)
+    t = jnp.where(hit, res.t, 0.0)
+    hit_obj = o_obj + d_obj * t[:, None]
+    dlen = jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
+    p_in = hit_obj + d_obj / jnp.maximum(dlen, 1e-20) * 0.05
+    center_obj = jnp.floor(p_in * 0.25) * 4.0 + 2.0
+    return _inst_xform(scene.obj_to_world, inst, center_obj, True)
 
 
 def entry_face(scene, res, origin_w, dir_w):

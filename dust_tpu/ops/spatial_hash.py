@@ -12,12 +12,24 @@ per SURVEY §5.2). Here inserts are *deterministic*: batch duplicates of
 the same cell are pre-combined with an exact closed-form running mean
 (sequential mean with a constant value has the closed form
 ``(r0*c0 + v*k)/(c0+k)``), then applied with unique-index scatters.
+
+Storage is ONE ``(capacity/4, 16) int32`` table of 64 B *probe-group*
+rows — four slots of ``[fingerprint, LogLuv radiance, last_frame,
+sample_count]`` each. The probe walk of a key stays inside one group
+(key_location aligns bases to 4), so a get is a single 64 B row gather
+and an insert is a read-modify-write of whole group rows. Group rows are
+the native stored layout: a ``(C, 4)`` table viewed ``(C/4, 16)`` would
+relayout (copy) all 256+ MB on *every* frame — measured 260 ms at 2²⁴
+capacity, the round-2 hash mode's dominant cost.
+
 Deviations from the GLSL, by design:
 
 * ``get`` does not update ``last_accessed_frame`` (pure function);
   recency is refreshed on insert only, so LRU decisions can be staler.
-* In-batch collisions of *different* keys on the same slot resolve by
-  "first ray in sort order" instead of thread-race order.
+* In-batch collisions on the same *group* (different keys whose probe
+  walks share an aligned group — rare) resolve by "first ray in sort
+  order" instead of thread-race order: later keys' inserts drop for
+  that batch.
 """
 
 from __future__ import annotations
@@ -37,35 +49,37 @@ NUM_PROBES = 3
 
 
 class SpatialHash(NamedTuple):
-    """One packed (C,4) int32 table: [fingerprint, LogLuv radiance,
-    last_accessed_frame, sample_count] — row-granular gathers/scatters
-    are ~4x cheaper on TPU than four parallel arrays."""
+    """One packed (C/4, 16) int32 table of probe-group rows (module doc)."""
 
-    table: jnp.ndarray  # (C, 4) int32
+    table: jnp.ndarray  # (C/4, 16) int32
 
     @property
     def capacity(self) -> int:
-        return self.table.shape[0]
+        return self.table.shape[0] * 4
 
+    # Slot-major field views (test/introspection convenience — the
+    # minor-dim reshape relayouts the table; don't use per frame).
     @property
     def fingerprint(self) -> jnp.ndarray:
-        return self.table[:, 0].astype(jnp.uint32)
+        return self.table.reshape(-1, 4)[:, 0].astype(jnp.uint32)
 
     @property
     def radiance(self) -> jnp.ndarray:
-        return self.table[:, 1].astype(jnp.uint32)
+        return self.table.reshape(-1, 4)[:, 1].astype(jnp.uint32)
 
     @property
     def last_frame(self) -> jnp.ndarray:
-        return self.table[:, 2]
+        return self.table.reshape(-1, 4)[:, 2]
 
     @property
     def sample_count(self) -> jnp.ndarray:
-        return self.table[:, 3]
+        return self.table.reshape(-1, 4)[:, 3]
 
 
 def make_spatial_hash(capacity: int) -> SpatialHash:
-    return SpatialHash(table=jnp.zeros((capacity, 4), jnp.int32))
+    if capacity % 4:
+        raise ValueError("spatial hash capacity must be a multiple of 4")
+    return SpatialHash(table=jnp.zeros((capacity // 4, 16), jnp.int32))
 
 
 def _pcg(v: jnp.ndarray) -> jnp.ndarray:
@@ -124,33 +138,50 @@ def hash_get(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray):
     Returns (found, radiance_acescg, sample_count)."""
     fingerprint = key_fingerprint(qpos, face_id)
     loc = key_location(qpos, face_id, hash_.capacity)
-    # One 16-wide row gather fetches the whole aligned probe group.
-    group = jnp.take(hash_.table.reshape(-1, 16), loc >> 2, axis=0)
-    rows = group.reshape(group.shape[:-1] + (4, 4))[..., :NUM_PROBES, :]
-    fp = rows[..., 0].astype(jnp.uint32)
+    # One 64 B row gather fetches the whole aligned probe group. Fields
+    # are extracted with masked minor-axis sums: ``group[..., i]`` column
+    # slicing would relayout the gather output channel-planar (~17 ms at
+    # 2M rays), masked reduces fuse into the gather consumer row-major.
+    group = jax.lax.optimization_barrier(
+        jnp.take(hash_.table, loc >> 2, axis=0))
+    minor = jnp.arange(16, dtype=jnp.int32)
 
-    match = fp == fingerprint[..., None]
-    empty = fp == 0
-    # Probe i is reached only if all earlier probes were occupied non-matches.
-    blocked = jnp.cumsum((match | empty).astype(jnp.int32), axis=-1) \
-        - (match | empty).astype(jnp.int32)
-    reach = blocked == 0
-    hit = match & reach
-    found = jnp.any(hit, axis=-1)
-    best = jnp.argmax(hit, axis=-1)[..., None, None]
-    row = jnp.take_along_axis(rows, best, axis=-2)[..., 0, :]
-    radiance = decode_logluv(row[..., 1].astype(jnp.uint32))
-    count = row[..., 3]
+    def word(i):
+        i = jnp.asarray(i, jnp.int32)
+        if i.ndim:
+            i = i[..., None]
+        return jnp.sum(jnp.where(minor == i, group, 0),
+                       axis=-1).astype(jnp.uint32)
+
+    # Probe i is reached only if all earlier probes were occupied
+    # non-matches (the walk stops at the first match or empty slot).
+    fp0, fp1, fp2 = word(0), word(4), word(8)
+    me0 = (fp0 == fingerprint) | (fp0 == 0)
+    me1 = (fp1 == fingerprint) | (fp1 == 0)
+    hit0 = fp0 == fingerprint
+    hit1 = (fp1 == fingerprint) & ~me0
+    hit2 = (fp2 == fingerprint) & ~me0 & ~me1
+    found = hit0 | hit1 | hit2
+    probe = jnp.where(hit0, 0, jnp.where(hit1, 1, 2))
+    radiance = decode_logluv(word(probe * 4 + 1))
+    count = word(probe * 4 + 3).astype(jnp.int32)
     zero = jnp.zeros_like(radiance)
     return found, jnp.where(found[..., None], radiance, zero), jnp.where(found, count, 0)
 
 
 def hash_insert(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray,
-                value: jnp.ndarray, frame_index, valid=None) -> SpatialHash:
+                value: jnp.ndarray, frame_index, valid=None,
+                max_updates: int | None = None) -> SpatialHash:
     """SpatialHashInsert (spatial_hash.glsl:147-195), batched + deterministic.
 
     ``value`` is ACEScg radiance (..., 3). ``valid`` masks inactive lanes.
-    """
+    ``max_updates`` (static) caps the scatter width: the row scatter is
+    the insert's dominant cost and is row-COUNT bound (a dropped OOB row
+    costs the same as a live one — measured), so the unique-cell updates
+    are compacted to the front and only the first ``max_updates`` rows
+    scatter. Batches touching more unique cells than the cap defer the
+    overflow (deterministically, in group-sort order) to later frames —
+    the same convergence-lag class as the GLSL's fixed surfel pool."""
     qpos = qpos.reshape(-1, 3)
     face_id = face_id.reshape(-1)
     value = value.reshape(-1, 3)
@@ -158,36 +189,23 @@ def hash_insert(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray,
     valid = jnp.ones(n, bool) if valid is None else valid.reshape(-1)
 
     fingerprint = key_fingerprint(qpos, face_id)
-    loc = key_location(qpos, face_id, hash_.capacity)
-    slots = loc[..., None] + jnp.arange(NUM_PROBES, dtype=jnp.int32)
-    group = jnp.take(hash_.table.reshape(-1, 16), loc >> 2, axis=0)
-    rows = group.reshape(group.shape[:-1] + (4, 4))[..., :NUM_PROBES, :]
-    fp = rows[..., 0].astype(jnp.uint32)
+    ngroups = hash_.table.shape[0]
+    group = key_location(qpos, face_id, hash_.capacity) >> 2
 
-    # Slot choice per the GLSL: first probe whose fingerprint matches or is
-    # empty; else the LRU of the three.
-    match_or_empty = (fp == fingerprint[:, None]) | (fp == 0)
-    any_me = jnp.any(match_or_empty, axis=-1)
-    first_me = jnp.argmax(match_or_empty, axis=-1)
-    last = rows[..., 2]
-    lru = jnp.argmin(last, axis=-1)
-    probe = jnp.where(any_me, first_me, lru)
-    slot = jnp.take_along_axis(slots, probe[:, None], axis=-1)[:, 0]
-
-    # ---- combine batch duplicates per (slot, fingerprint) --------------
-    # Single-key sort by slot (lexsort chains two full sorts; a slot run
-    # holding two *different* fingerprints is a rare hash collision, and
-    # fragmented groups merely drop the later fragment).
-    slot_s = jnp.where(valid, slot, hash_.capacity)  # invalid -> sentinel
-    order = jnp.argsort(slot_s, stable=True)
-    s_slot = slot_s[order]
+    # ---- combine batch duplicates per (group, fingerprint) -------------
+    # Single-key sort by group (a group holding two *different*
+    # fingerprints in one batch is a rare hash collision, and fragmented
+    # groups merely drop the later fragment).
+    group_s = jnp.where(valid, group, ngroups)  # invalid -> sentinel
+    order = jnp.argsort(group_s, stable=True)
+    s_group = group_s[order]
     s_fp = fingerprint[order]
     s_val = value[order]
     s_valid = valid[order]
 
     first = jnp.concatenate(
         [jnp.ones(1, bool),
-         (s_slot[1:] != s_slot[:-1]) | (s_fp[1:] != s_fp[:-1])]
+         (s_group[1:] != s_group[:-1]) | (s_fp[1:] != s_fp[:-1])]
     ) & s_valid
 
     # Group totals at run starts via a reverse segmented scan — pure
@@ -214,41 +232,67 @@ def hash_insert(hash_: SpatialHash, qpos: jnp.ndarray, face_id: jnp.ndarray,
     gsum = totals[:, :3]
     gcnt = totals[:, 3]
 
-    # One representative per group: the sorted position where first=True.
-    num_groups_mask = first
-    rep_slot = jnp.where(num_groups_mask, s_slot, hash_.capacity)
-    rep_fp = s_fp
-    k = jnp.where(num_groups_mask, gcnt, 0.0)
+    # One representative per group: the sorted position where first=True;
+    # if two fingerprints share a group in-batch, only the first applies
+    # (group read-modify-write must be unique per scatter row).
+    grp_first = jnp.concatenate(
+        [jnp.ones(1, bool), s_group[1:] != s_group[:-1]])
+    apply_mask = first & grp_first & (s_group < ngroups)
+    k = jnp.where(apply_mask, gcnt, 0.0)
     vbar = gsum / jnp.maximum(gcnt, 1.0)[:, None]
 
-    # Collision rule: if two *different* fingerprints map to one slot in
-    # this batch, keep only the first group for that slot.
-    slot_first = jnp.concatenate(
-        [jnp.ones(1, bool), s_slot[1:] != s_slot[:-1]]
-    )
-    apply_mask = num_groups_mask & slot_first & (rep_slot < hash_.capacity)
+    # ---- read-modify-write the unique group rows ----------------------
+    # Field extraction via masked minor-axis sums (same row-major trick
+    # as hash_get — column slicing would relayout the gathered rows).
+    tgt = jnp.where(apply_mask, s_group, ngroups - 1)
+    cur = jax.lax.optimization_barrier(jnp.take(hash_.table, tgt, axis=0))
+    minor = jnp.arange(16, dtype=jnp.int32)
 
-    tgt = jnp.where(apply_mask, rep_slot, hash_.capacity - 1)
-    cur = jnp.take(hash_.table, tgt, axis=0)
-    cur_fp = cur[:, 0].astype(jnp.uint32)
-    same = cur_fp == rep_fp
-    c0 = jnp.where(same, cur[:, 3], 0).astype(jnp.float32)
+    def word(i):
+        i = jnp.asarray(i, jnp.int32)
+        if i.ndim:
+            i = i[..., None]
+        return jnp.sum(jnp.where(minor == i, cur, 0), axis=-1)
+
+    # Slot choice per the GLSL: first probe whose fingerprint matches or
+    # is empty; else the LRU of the three.
+    fp0, fp1, fp2 = (word(0).astype(jnp.uint32), word(4).astype(jnp.uint32),
+                     word(8).astype(jnp.uint32))
+    me0 = (fp0 == s_fp) | (fp0 == 0)
+    me1 = (fp1 == s_fp) | (fp1 == 0)
+    me2 = (fp2 == s_fp) | (fp2 == 0)
+    lf0, lf1, lf2 = word(2), word(6), word(10)
+    lru = jnp.where(lf0 <= jnp.minimum(lf1, lf2), 0,
+                    jnp.where(lf1 <= lf2, 1, 2))
+    probe = jnp.where(me0, 0, jnp.where(me1, 1, jnp.where(me2, 2, lru)))
+
+    same = word(probe * 4).astype(jnp.uint32) == s_fp
+    c0 = jnp.where(same, word(probe * 4 + 3), 0).astype(jnp.float32)
     c0 = jnp.minimum(c0, MAX_SAMPLE_COUNT - 1)
-    r0 = jnp.where(same[:, None], decode_logluv(cur[:, 1].astype(jnp.uint32)), 0.0)
+    r0 = jnp.where(same[:, None],
+                   decode_logluv(word(probe * 4 + 1).astype(jnp.uint32)), 0.0)
 
     new_cnt = jnp.minimum(c0 + k, MAX_SAMPLE_COUNT)
     new_rad = (r0 * c0[:, None] + vbar * k[:, None]) / jnp.maximum(c0 + k, 1.0)[:, None]
-
-    # One unique-slot row scatter (apply_mask guarantees uniqueness).
     enc = encode_logluv(new_rad)
     fi = jnp.asarray(frame_index, jnp.int32)
-    sel = apply_mask
-    upd_slot = jnp.where(sel, tgt, hash_.capacity)  # OOB drops
-    new_rows = jnp.stack(
-        [jnp.where(sel, rep_fp.astype(jnp.int32), 0),
-         jnp.where(sel, enc.astype(jnp.int32), 0),
-         jnp.where(sel, jnp.broadcast_to(fi, sel.shape), 0),
-         jnp.where(sel, new_cnt.astype(jnp.int32), 0)], axis=-1)
+    fields = jnp.stack(
+        [s_fp.astype(jnp.int32), enc.astype(jnp.int32),
+         jnp.broadcast_to(fi, s_fp.shape).astype(jnp.int32),
+         new_cnt.astype(jnp.int32)], axis=-1)           # (n, 4)
+    # Splice the chosen slot's 4 words into the gathered 64 B row.
+    word_slot = jnp.arange(16, dtype=jnp.int32) >> 2    # word -> slot id
+    new_rows = jnp.where(word_slot == probe[:, None],
+                         jnp.tile(fields, (1, 4)), cur)
+
+    # One unique-group row scatter (apply_mask guarantees uniqueness).
+    upd = jnp.where(apply_mask, tgt, ngroups)           # OOB drops
+    if max_updates is not None and max_updates < n:
+        # Stable partition (applied-first) + slice: the scatter only
+        # processes `max_updates` rows instead of n.
+        porder = jnp.argsort(~apply_mask, stable=True)[:max_updates]
+        upd = jnp.take(upd, porder)
+        new_rows = jnp.take(new_rows, porder, axis=0)
     return SpatialHash(
-        table=hash_.table.at[upd_slot].set(new_rows, mode="drop")
+        table=hash_.table.at[upd].set(new_rows, mode="drop")
     )

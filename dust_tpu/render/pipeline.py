@@ -131,6 +131,21 @@ def _pool_enqueue_mod(dest, mask, values):
     return jnp.where(any_hit[:, None], picked, dest)
 
 
+def _cell_enumeration(scene):
+    """World-space leaf centers + validity for every (instance, leaf)
+    row — the (instance, leaf_row, face) cell basis BOTH GI caches key
+    by (leaf centers transform per instance; tiny static loop)."""
+    centers, vleafs = [], []
+    for i, m in enumerate(scene.inst_model):
+        co = scene.leaf_origin[m].astype(jnp.float32) + 2.0  # (L,3)
+        o2w = scene.obj_to_world[i]
+        cw = jnp.einsum("ij,nj->ni", o2w[:, :3], co,
+                        precision="highest") + o2w[:, 3]
+        centers.append(cw)
+        vleafs.append((scene.mask_lo[m] | scene.mask_hi[m]) != 0)
+    return jnp.concatenate(centers), jnp.concatenate(vleafs)
+
+
 def _pcg_scalar(v):
     v = v.astype(jnp.uint32)
     state = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
@@ -376,21 +391,36 @@ def render_frame(
         fg_hit = fg_active & fg.hit
     if gi_enabled:
         if dense:
-            # Dense fast path: face computed analytically from the entry
-            # geometry and albedo riding in the cache row — no leaf-row
-            # gather at all (shade.entry_face + gi_cache layout docs).
-            face = shade.entry_face(scene, fg, hit_loc, gi_dir)
-            found, cached, cnt, alb_u32 = gilib.dense_get(
-                state.gi, gilib.dense_index(lmax, fg.inst, fg.row, face),
-                fg_hit)
-            from dust_tpu.vox.geometry import unpack_r10g10b10a2
-            fg_albedo = unpack_r10g10b10a2(alb_u32, xp=jnp)
+            gi_reads = state.gi
         else:
-            leaf = shade.leaf_attributes(scene, fg, hit_loc, gi_dir,
-                                         settings.spatial_hash.cell_size)
-            found, cached, cnt = sh.hash_get(state.gi, leaf["qpos"],
-                                             leaf["face"])
-            fg_albedo = leaf["avg_albedo"]
+            # Per-frame WORKING SET of the hash (TPU-first): ONE
+            # hash_get per (instance, leaf, face) cell of the loaded
+            # scene, packed into dense-cache rows, so every ray-side GI
+            # read below is the same small-table row gather as dense
+            # mode. Semantically identical to per-ray hash_get — reads
+            # see the PRE-insert table in both designs (inserts land at
+            # frame end) — but the ~200k-cell build replaces ~2.4M
+            # random probes of the 256+ MB table (measured ~80 ms/frame
+            # at 2²⁴ capacity; the build costs ~3 ms).
+            centers_w, vleaf = _cell_enumeration(scene)
+            cellq = jnp.trunc(
+                centers_w / settings.spatial_hash.cell_size).astype(jnp.int32)
+            qpos6 = jnp.repeat(cellq, 6, axis=0)
+            face6 = jnp.tile(jnp.arange(6, dtype=jnp.int32),
+                             centers_w.shape[0])
+            w_found, w_rad, w_cnt = sh.hash_get(state.gi, qpos6, face6)
+            w_cnt = jnp.where(w_found & jnp.repeat(vleaf, 6), w_cnt, 0)
+            gi_reads = gilib.pack_working_set(w_rad, w_cnt, scene)
+
+        # Face computed analytically from the entry geometry and albedo
+        # riding in the cache row — no leaf-row gather at all
+        # (shade.entry_face + gi_cache layout docs).
+        face = shade.entry_face(scene, fg, hit_loc, gi_dir)
+        found, cached, cnt, alb_u32 = gilib.dense_get(
+            gi_reads, gilib.dense_index(lmax, fg.inst, fg.row, face),
+            fg_hit)
+        from dust_tpu.vox.geometry import unpack_r10g10b10a2
+        fg_albedo = unpack_r10g10b10a2(alb_u32, xp=jnp)
         albedo_lin = colorlib.srgb_eotf(fg_albedo[:, :3], xp=jnp)
         indirect = colorlib.srgb_to_acescg(
             colorlib.acescg_to_srgb(cached, xp=jnp) * albedo_lin, xp=jnp
@@ -406,13 +436,16 @@ def render_frame(
             # schedule, so the stochastic enqueue disappears entirely.
             surfels = state.surfels
         else:
-            # Stochastic surfel enqueue (final_gather.rchit:56-67).
+            # Stochastic surfel enqueue (final_gather.rchit:56-67); the
+            # enqueued cell center reconstructs analytically from the
+            # hit geometry (entry_leaf_center) instead of a leaf-row
+            # gather.
             p_sched = 1.0 / (cnt.astype(jnp.float32) + 2.0)
             noise0 = bn_fetch(bn_scalar, (34, 21))[:, 0]
             enqueue = fg_hit & (noise0 > p_sched)
+            center_fg = shade.entry_leaf_center(scene, fg, hit_loc, gi_dir)
             enq_rows = jnp.concatenate(
-                [leaf["center_world"], leaf["face"].astype(jnp.float32)[:, None]],
-                axis=-1)
+                [center_fg, face.astype(jnp.float32)[:, None]], axis=-1)
             # Pool slot = pixel % pool_size (surfel.rgen flat launch id mapping).
             surfels = _pool_enqueue_mod(state.surfels, enqueue, enq_rows)
         if settings.debug_visualize_spatial_hash:
@@ -443,19 +476,10 @@ def render_frame(
         # -------------------------------------------------- 4. surfel pass
         if dense:
             # Dense mode: the "pool" is the static cell list (instance,
-            # leaf_row, face) — every cell patches itself every frame. Leaf
-            # centers transform per instance (tiny static loop); normals are
-            # world-space cube faces, exactly surfel.rgen's geometry.
-            centers, vleafs = [], []
-            for i, m in enumerate(scene.inst_model):
-                co = scene.leaf_origin[m].astype(jnp.float32) + 2.0  # (L,3)
-                o2w = scene.obj_to_world[i]
-                cw = jnp.einsum("ij,nj->ni", o2w[:, :3], co,
-                                precision="highest") + o2w[:, 3]
-                centers.append(cw)
-                vleafs.append((scene.mask_lo[m] | scene.mask_hi[m]) != 0)
-            centers_w = jnp.concatenate(centers)   # (I*L, 3)
-            vleaf = jnp.concatenate(vleafs)        # (I*L,)
+            # leaf_row, face) — every cell patches itself every frame;
+            # normals are world-space cube faces, exactly surfel.rgen's
+            # geometry.
+            centers_w, vleaf = _cell_enumeration(scene)
             surfel_pos = jnp.repeat(centers_w, 6, axis=0)
             surfel_dir = jnp.tile(jnp.arange(6, dtype=jnp.int32),
                                   centers_w.shape[0])
@@ -525,21 +549,12 @@ def render_frame(
         s_res = trace(scene, s_origin, s_dir, 0.1,
                       jnp.where(s_valid, 10000.0, -1.0), "rough")
         s_hit = s_valid & s_res.hit
-        if dense:
-            s_face = shade.entry_face(scene, s_res, s_origin, s_dir)
-            s_found, s_cached, s_cnt, s_alb_u32 = gilib.dense_get(
-                state.gi,
-                gilib.dense_index(lmax, s_res.inst, s_res.row, s_face),
-                s_hit)
-            from dust_tpu.vox.geometry import unpack_r10g10b10a2
-            s_albedo = unpack_r10g10b10a2(s_alb_u32, xp=jnp)
-        else:
-            s_leaf = shade.leaf_attributes(scene, s_res, s_origin, s_dir,
-                                           settings.spatial_hash.cell_size)
-            s_found, s_cached, s_cnt = sh.hash_get(
-                state.gi, s_leaf["qpos"], s_leaf["face"]
-            )
-            s_albedo = s_leaf["avg_albedo"]
+        s_face = shade.entry_face(scene, s_res, s_origin, s_dir)
+        s_found, s_cached, s_cnt, s_alb_u32 = gilib.dense_get(
+            gi_reads,
+            gilib.dense_index(lmax, s_res.inst, s_res.row, s_face),
+            s_hit)
+        s_albedo = unpack_r10g10b10a2(s_alb_u32, xp=jnp)
         s_albedo_lin = colorlib.srgb_eotf(s_albedo[:, :3], xp=jnp)
         s_bounce = colorlib.srgb_to_acescg(
             colorlib.acescg_to_srgb(s_cached, xp=jnp) * s_albedo_lin, xp=jnp
@@ -564,10 +579,10 @@ def render_frame(
         else:
             s_qpos = jnp.trunc(
                 surfel_pos / settings.spatial_hash.cell_size).astype(jnp.int32)
-            s_face = jnp.minimum(surfel_dir, 5)
             new_gi = sh.hash_insert(
-                state.gi, s_qpos, s_face, insert_val,
+                state.gi, s_qpos, jnp.minimum(surfel_dir, 5), insert_val,
                 frame_index, valid=insert_ok,
+                max_updates=settings.spatial_hash.insert_cap or None,
             )
 
             # Hit-but-not-found: stochastically enqueue the hit cell
@@ -576,9 +591,9 @@ def render_frame(
             s_noise = bn_fetch_pool(bn_scalar, (114, 40))[:, 0]
             s_p = 1.0 / (s_cnt.astype(jnp.float32) + 2.0)
             s_requeue = s_hit & ~s_found & (s_noise > s_p)
+            s_center = shade.entry_leaf_center(scene, s_res, s_origin, s_dir)
             rq_rows = jnp.concatenate(
-                [s_leaf["center_world"],
-                 s_leaf["face"].astype(jnp.float32)[:, None]], axis=-1)
+                [s_center, s_face.astype(jnp.float32)[:, None]], axis=-1)
             # Slot i requeues into itself: the scatter is an elementwise select.
             surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
 
