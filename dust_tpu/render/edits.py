@@ -81,8 +81,12 @@ class SceneEditor:
         # other models' absolute pointers valid).
         geos = [vox_scene.geometries[m] for m in self._model_ids]
         self._mat_base, self._mat_cap = material_layout(geos)
-        # Diagnostics: how the last refit was applied ("splice"/"rebuild").
+        # Diagnostics: how the last refit was applied
+        # ("leaf"/"splice"/"rebuild").
         self.last_refit_mode: str | None = None
+        # origin-tuple -> leaf row per model (leaf-patch fast path);
+        # invalidated whenever a splice/rebuild reorders leaf rows.
+        self._leaf_rows: dict[int, dict] = {}
 
     def set_voxel(self, model_id: int, coords, palette_idx: int | None) -> None:
         """Set (palette index) or clear (None) one voxel."""
@@ -146,6 +150,9 @@ class SceneEditor:
         reference's hash going stale on edits). Returns ``device`` when
         called without a state, ``(device, new_state)`` with one.
         """
+        fast = self._try_leaf_patch(frame_state)
+        if fast is not None:
+            return fast
         if frame_state is None:
             return self._refit()
         device = self._refit()
@@ -158,6 +165,133 @@ class SceneEditor:
             frame_state = frame_state._replace(gi=gi)
         return device, frame_state
 
+    def _try_leaf_patch(self, frame_state=None):
+        """Leaf-granular fast path (BASELINE config #4's per-frame edit):
+        when every pending edit lands in an EXISTING leaf that stays
+        non-empty, the leaf set — and therefore the hierarchy row order,
+        L1/L2 bitmaps, rank tables and cell-grid chebyshev field — is
+        unchanged, so the refit reduces to scattering the touched leaves'
+        mask/attr/voxel_attr/albedo rows in ONE jitted dispatch
+        (scene.apply_leaf_patch) instead of re-uploading the model's
+        lmax-row pools. Host work is O(edited leaves), device work is a
+        K-row scatter; the compacted materials pools go stale (unread by
+        the frame path — voxel_attr denormalises them) until the next
+        splice/rebuild recompacts from the editor's coords.
+
+        Returns the refit() result, or None when ineligible (caller
+        falls through to the splice/rebuild path)."""
+        from dust_tpu.ops import gi_cache as gilib
+        from dust_tpu.render.scene import apply_leaf_patch
+        from dust_tpu.vox.geometry import pack_avg_albedo
+        from dust_tpu.utils import color as colorlib
+
+        if not self._dirty:
+            return None
+        palette = self.vox_scene.palette  # (256,4) uint8
+        lmax = int(self.device.mask_lo.shape[1])
+        inst_model = self.device.inst_model
+
+        # ---- eligibility + per-leaf new content (no state mutated yet)
+        leaves = []  # (slot, row, origin, {bit: palette_idx})
+        for mid in sorted(self._dirty):
+            pend = self._pending[mid]
+            if not pend:
+                return None  # dirty without overlay: unknown edit source
+            rows_map = self._leaf_rows.get(mid)
+            if rows_map is None:
+                lo = self.vox_scene.geometries[mid].flat.leaf_origin
+                rows_map = {tuple(int(v) for v in o): r
+                            for r, o in enumerate(np.asarray(lo))}
+                self._leaf_rows[mid] = rows_map
+            slot = self._model_ids.index(mid)
+            by_leaf: dict[tuple, dict] = {}
+            for (x, y, z), pi in pend.items():
+                by_leaf.setdefault((x & ~3, y & ~3, z & ~3), {})[
+                    ((x & 3) << 4) | ((y & 3) << 2) | (z & 3)] = pi
+            coords = self._coords[mid]
+            idx = self._idx[mid]
+            enc = self._enc(coords) if len(coords) else np.zeros(0, np.int64)
+            for origin, edits in by_leaf.items():
+                row = rows_map.get(origin)
+                if row is None:
+                    return None  # new leaf -> row order changes
+                okey = (origin[0] << 16) | (origin[1] << 8) | origin[2]
+                sel = (enc & ~np.int64(0x030303)) == okey
+                cur_c = coords[sel]
+                content = {
+                    int(((c[0] & 3) << 4) | ((c[1] & 3) << 2) | (c[2] & 3)): int(i)
+                    for c, i in zip(cur_c, idx[sel])}
+                for bit, pi in edits.items():
+                    if pi is None:
+                        content.pop(bit, None)
+                    else:
+                        content[bit] = pi
+                if not content:
+                    return None  # leaf dies -> block set changes
+                leaves.append((slot, row, origin, content))
+
+        # ---- build the K patch rows -----------------------------------
+        K = len(leaves)
+        models = np.zeros(K, np.int32)
+        rows = np.zeros(K, np.int32)
+        mlo = np.zeros(K, np.uint32)
+        mhi = np.zeros(K, np.uint32)
+        albs = np.zeros(K, np.uint32)
+        attr = np.zeros((K, 4), np.int32)
+        fg = np.zeros((K, 2), np.int32)
+        vox = np.zeros((K, 4, 16), np.int32)
+        for k, (slot, row, origin, content) in enumerate(leaves):
+            models[k], rows[k] = slot, row
+            bits = np.fromiter(sorted(content), np.int64)
+            pis = np.fromiter((content[b] for b in sorted(content)), np.int64)
+            m64 = np.bitwise_or.reduce(np.uint64(1) << bits.astype(np.uint64))
+            mlo[k] = np.uint32(m64 & np.uint64(0xFFFFFFFF))
+            mhi[k] = np.uint32(m64 >> np.uint64(32))
+            rgba8 = palette[pis].astype(np.uint32)
+            words = (rgba8[:, 0] | (rgba8[:, 1] << 8) | (rgba8[:, 2] << 16)
+                     | (pis.astype(np.uint32) << 24))
+            vox[k].reshape(64)[bits] = words.view(np.int32)
+            # Average albedo, exactly build_geometry_from_flat's math.
+            avg = palette[pis].astype(np.float64).sum(0) / (len(pis) * 255.0)
+            avg[:3] = colorlib.srgb_oetf(avg[:3], xp=np)
+            albs[k] = pack_avg_albedo(avg[None])[0]
+            po = origin[0] | (origin[1] << 8) | (origin[2] << 16)
+            attr[k] = np.array([po, mlo[k], mhi[k], 0],
+                               np.uint32).view(np.int32)
+            fg[k] = np.array([po, albs[k]], np.uint32).view(np.int32)
+
+        # ---- dense-GI albedo refresh rows -----------------------------
+        gi = frame_state.gi if frame_state is not None else None
+        dense = isinstance(gi, gilib.DenseGICache)
+        gi_rows = gi_alb = None
+        if dense:
+            per_model = {m: [i for i, im in enumerate(inst_model) if im == m]
+                         for m in set(models.tolist())}
+            width = max(len(v) for v in per_model.values()) * 6
+            gi_rows = np.full((K, width), -1, np.int32)
+            gi_alb = np.zeros((K, width), np.int32)
+            for k in range(K):
+                cells = [(i * lmax + int(rows[k])) * 6 + f
+                         for i in per_model[int(models[k])] for f in range(6)]
+                gi_rows[k, :len(cells)] = cells
+                gi_alb[k, :len(cells)] = albs[k:k + 1].view(np.int32)[0]
+
+        device, new_gi = apply_leaf_patch(
+            self.device, models, rows, mlo, mhi, albs, attr, fg, vox,
+            gi_table=(gi.table if dense else None),
+            gi_rows=gi_rows, gi_alb=gi_alb)
+        self.device = device
+        for mid in sorted(self._dirty):
+            self._merge_pending(mid)
+        self._dirty.clear()
+        self.last_refit_mode = "leaf"
+        if frame_state is None:
+            return device
+        if dense:
+            frame_state = frame_state._replace(
+                gi=gilib.DenseGICache(table=new_gi))
+        return device, frame_state
+
     def _refit(self) -> DeviceScene:
         if not self._dirty:
             return self.device
@@ -167,6 +301,8 @@ class SceneEditor:
         from dust_tpu.voxtree.tree import FlatTree
 
         for mid in sorted(self._dirty):
+            # Geometry rebuild reorders leaf rows: drop the fast-path map.
+            self._leaf_rows.pop(mid, None)
             self._merge_pending(mid)
             coords = self._coords[mid]
             idx = self._idx[mid]

@@ -473,3 +473,81 @@ def _apply_splice(device, updates, slot, mat_base, mat_cap, lmax):
     repl["voxel_attr"] = device.voxel_attr.at[r0 * 4:r1 * 4].set(
         u["voxel_attr"])
     return device._replace(**repl)
+
+
+@_jax.jit
+def _apply_leaf_patch(device, model, row, flat, mask_lo, mask_hi, alb,
+                      attr, fg, vox, gi_table, gi_rows, gi_alb):
+    """Leaf-granular device patch (SceneEditor fast path): scatter K
+    edited leaves' rows into every per-leaf pool in ONE dispatch.
+    Padded lanes carry index -1 (OOB) and drop. The compacted
+    materials/material_rgba pools are NOT touched — they are build-time
+    inputs only (shading reads the denormalised voxel_attr rows); the
+    next slice/rebuild refit recompacts them from the editor's coords.
+
+    ``gi_table``: optional dense-GI (R,3) table whose per-row albedo
+    word refreshes for the edited leaves' (instance, row, face) cells
+    (``gi_rows``/``gi_alb``, -1-padded) — keeps edit+dense-GI shading
+    consistent without a second dispatch."""
+    repl = dict(
+        mask_lo=device.mask_lo.at[model, row].set(
+            mask_lo.astype(device.mask_lo.dtype), mode="drop"),
+        mask_hi=device.mask_hi.at[model, row].set(
+            mask_hi.astype(device.mask_hi.dtype), mode="drop"),
+        avg_albedo=device.avg_albedo.at[model, row].set(
+            alb.astype(device.avg_albedo.dtype), mode="drop"),
+        leaf_attr=device.leaf_attr.at[flat].set(attr, mode="drop"),
+        leaf_attr_fg=device.leaf_attr_fg.at[flat].set(fg, mode="drop"),
+        voxel_attr=device.voxel_attr.at[
+            (flat[:, None] * 4 + jnp.arange(4)).reshape(-1)].set(
+            vox.reshape(-1, 16), mode="drop"),
+        # Pallas mask-chunk tables: leaf row r's words live at
+        # (chunk r>>10, sublane (r>>7)&7, lane r&127) of the (CL,8,128)
+        # per-model block (build_pallas_tables packs rows flat).
+        pl_mlo=device.pl_mlo.at[
+            model, row >> 10, (row >> 7) & 7, row & 127].set(
+            mask_lo.astype(jnp.int32), mode="drop"),
+        pl_mhi=device.pl_mhi.at[
+            model, row >> 10, (row >> 7) & 7, row & 127].set(
+            mask_hi.astype(jnp.int32), mode="drop"),
+    )
+    new_gi = gi_table.at[gi_rows, 2].set(gi_alb, mode="drop")
+    return device._replace(**repl), new_gi
+
+
+def apply_leaf_patch(device, model, row, mask_lo, mask_hi, alb, attr, fg,
+                     vox, gi_table=None, gi_rows=None, gi_alb=None):
+    """Host wrapper for :func:`_apply_leaf_patch`: pads the K edited
+    leaves to a power-of-two batch (stable jit cache) and fills the
+    derived flat indices. Returns ``(device, gi_table-or-None)``."""
+    k = len(row)
+    kp = max(8, 1 << (k - 1).bit_length())
+    lmax = device.mask_lo.shape[1]
+
+    def pad(a, fill):
+        a = np.asarray(a)
+        out = np.full((kp,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:k] = a
+        return out
+
+    model_p = pad(np.asarray(model, np.int32), 0)
+    row_p = pad(np.asarray(row, np.int32), -1)
+    flat = np.where(row_p >= 0, model_p * lmax + row_p, -1).astype(np.int32)
+    if gi_table is None:
+        gi_in = jnp.zeros((1, 3), jnp.int32)
+        rows_in = np.full((kp, 1), -1, np.int32)
+        alb_in = np.zeros((kp, 1), np.int32)
+    else:
+        gi_in = gi_table
+        rows_in = pad(np.asarray(gi_rows, np.int32), -1)
+        alb_in = pad(np.asarray(gi_alb, np.int32), 0)
+    dev, gi_out = _apply_leaf_patch(
+        device, jnp.asarray(model_p), jnp.asarray(row_p), jnp.asarray(flat),
+        jnp.asarray(pad(np.asarray(mask_lo, np.uint32), 0)),
+        jnp.asarray(pad(np.asarray(mask_hi, np.uint32), 0)),
+        jnp.asarray(pad(np.asarray(alb, np.uint32), 0)),
+        jnp.asarray(pad(np.asarray(attr, np.int32), 0)),
+        jnp.asarray(pad(np.asarray(fg, np.int32), 0)),
+        jnp.asarray(pad(np.asarray(vox, np.int32), 0)),
+        gi_in, jnp.asarray(rows_in), jnp.asarray(alb_in))
+    return dev, (gi_out if gi_table is not None else None)

@@ -180,3 +180,116 @@ class TestEditShadingConsistency:
         # ...and shading resolves the edited voxel's palette color.
         g = shade.resolve_hits(dev2, r_x, o, d)
         assert int(g["palette_idx"][0]) == 8
+
+
+class TestLeafPatchFastPath:
+    """Leaf-granular fast path: same-leaf-set edits skip the splice and
+    scatter only the touched leaves' rows (scene.apply_leaf_patch)."""
+
+    def _find_occupied(self, vox):
+        geo = vox.geometries[0]
+        flat = geo.flat
+        occ = flat.occupancy_u64()
+        # a leaf with >= 2 voxels (so a clear keeps it alive)
+        counts = np.unpackbits(occ.view(np.uint8).reshape(-1, 8),
+                               axis=1).sum(axis=1)
+        r = int(np.argmax(counts >= 2))
+        origin = flat.leaf_origin[r]
+        bits = [b for b in range(64) if (int(occ[r]) >> b) & 1]
+        vx = [tuple(int(v) for v in origin + np.array(
+            [(b >> 4) & 3, (b >> 2) & 3, b & 3])) for b in bits]
+        return tuple(int(v) for v in origin), vx
+
+    def _read_arrays(self, dev):
+        return {k: np.array(getattr(dev, k)) for k in
+                ("mask_lo", "mask_hi", "avg_albedo", "voxel_attr",
+                 "pl_mlo", "pl_mhi", "cell_info", "pl_l1", "pl_l2w0",
+                 "pl_l2w1", "pl_l2r0", "pl_l2r1", "leaf_origin")}
+
+    def test_palette_change_uses_leaf_patch_and_matches_rebuild(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        _, vx = self._find_occupied(vox)
+        ed.set_voxel(0, vx[0], palette_idx=9)
+        dev2 = ed.refit()
+        assert ed.last_refit_mode == "leaf"
+
+        # Oracle: a from-scratch scene with the same final voxels.
+        vox_ref = load_vox_scene(procgen.teapot_scene_bytes())
+        ed_ref = SceneEditor(vox_ref, build_device_scene(vox_ref))
+        ed_ref.set_voxel(0, vx[0], palette_idx=9)
+        ed_ref._refit()  # force the splice path
+        dev_ref = ed_ref.device
+        a, b = self._read_arrays(dev2), self._read_arrays(dev_ref)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        # leaf_attr_fg albedo words match too (origin+albedo columns).
+        np.testing.assert_array_equal(np.array(dev2.leaf_attr_fg),
+                                      np.array(dev_ref.leaf_attr_fg))
+
+    def test_add_and_clear_within_leaf(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        origin, vx = self._find_occupied(vox)
+        # find a FREE bit in this leaf
+        occupied = {v for v in vx}
+        free = None
+        for b in range(64):
+            c = (origin[0] + ((b >> 4) & 3), origin[1] + ((b >> 2) & 3),
+                 origin[2] + (b & 3))
+            if c not in occupied:
+                free = c
+                break
+        assert free is not None
+        ed.set_voxel(0, free, palette_idx=4)      # add inside leaf
+        ed.set_voxel(0, vx[0], palette_idx=None)  # clear another voxel
+        dev2 = ed.refit()
+        assert ed.last_refit_mode == "leaf"
+
+        vox_ref = load_vox_scene(procgen.teapot_scene_bytes())
+        ed_ref = SceneEditor(vox_ref, build_device_scene(vox_ref))
+        ed_ref.set_voxel(0, free, palette_idx=4)
+        ed_ref.set_voxel(0, vx[0], palette_idx=None)
+        ed_ref._refit()
+        a, b = self._read_arrays(dev2), self._read_arrays(ed_ref.device)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+        # A later out-of-leaf edit still works via the slow path and
+        # recompacts the stale material pools from the editor's coords.
+        ed.set_voxel(0, (0, 0, 0) if (0, 0, 0) != free else (4, 0, 0), 5)
+        ed.refit()
+        assert ed.last_refit_mode in ("splice", "rebuild")
+
+    def test_new_leaf_falls_back(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        flat = vox.geometries[0].flat
+        have = {tuple(int(v) for v in o) for o in flat.leaf_origin}
+        target = next((ox, oy, oz) for ox in range(0, 256, 4)
+                      for oy in range(0, 256, 4) for oz in range(0, 256, 4)
+                      if (ox, oy, oz) not in have)
+        ed.set_voxel(0, target, palette_idx=3)
+        ed.refit()
+        assert ed.last_refit_mode in ("splice", "rebuild")
+
+    def test_leaf_patch_refreshes_dense_gi_albedo(self):
+        from dust_tpu.ops import gi_cache as gilib
+        from dust_tpu.config import RenderSettings
+        from dust_tpu.render.pipeline import make_frame_state
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        settings = RenderSettings(width=32, height=32, gi_cache="dense")
+        state = make_frame_state(settings, dev)
+        _, vx = self._find_occupied(vox)
+        ed.set_voxel(0, vx[0], palette_idx=11)
+        dev2, state2 = ed.refit(state)
+        assert ed.last_refit_mode == "leaf"
+        gi_alb = np.array(state2.gi.table[:, 2]).view(np.uint32)
+        fresh = np.array(gilib.make_dense_gi_cache(dev2).table[:, 2]).view(
+            np.uint32)
+        np.testing.assert_array_equal(gi_alb, fresh)
