@@ -131,23 +131,21 @@ def dense_get(cache: DenseGICache, idx: jnp.ndarray, valid: jnp.ndarray):
     """Returns (found, radiance_acescg, sample_count, albedo_u32) — the
     hash_get contract (spatial_hash.glsl:200-220) without probes or
     fingerprints, plus the leaf albedo riding in the same row."""
+    # Plain column slicing: XLA fuses the gather into one transpose-copy
+    # to channel-planar (~5.6 ms total at 2M rays). Both masked-sum
+    # variants measured WORSE here (10-12.5 ms): with a barrier the
+    # (N,3) row-major gather output materialises tile-padded (3->128
+    # lanes, ~170 MB of traffic); without one the gather duplicates into
+    # each reduce. The shade.resolve_hits trick only pays when the row
+    # reduces to a single (N,) output inside ONE fusion.
     rows = jnp.take(cache.table, idx, axis=0).astype(jnp.uint32)
-    # Column extraction as a masked minor-axis sum: plain ``rows[..., c]``
-    # slicing makes XLA relayout the (N,3) gather output channel-planar
-    # first (~1.4 ms/frame at 1080p); the masked reduce fuses into the
-    # gather's consumer in row-major (same trick as shade.resolve_hits).
-    col = jnp.arange(3, dtype=jnp.int32)
-
-    def pick(c):
-        return jnp.sum(jnp.where(col == c, rows, jnp.uint32(0)), axis=-1)
-
-    w0, w1, w2 = pick(0), pick(1), pick(2)
-    count = (w1 >> 16).astype(jnp.float32)
+    count = (rows[..., 1] >> 16).astype(jnp.float32)
     found = valid & (count > 0)
     radiance = jnp.stack(
-        [_bits_f16(w0), _bits_f16(w0 >> 16), _bits_f16(w1)], axis=-1)
+        [_bits_f16(rows[..., 0]), _bits_f16(rows[..., 0] >> 16),
+         _bits_f16(rows[..., 1])], axis=-1)
     radiance = jnp.where(found[..., None], radiance, 0.0)
-    return found, radiance, jnp.where(found, count, 0.0), w2
+    return found, radiance, jnp.where(found, count, 0.0), rows[..., 2]
 
 
 def dense_update(cache: DenseGICache, value: jnp.ndarray,

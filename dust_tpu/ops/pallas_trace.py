@@ -909,90 +909,134 @@ def _make_scene_kernel(CL: int, model_chunks: tuple, inst_counts: tuple,
     rounds — the hardware-TLAS "skip this BLAS" analog), then merges.
 
     Instances arrive sorted by model; ``ids_ref`` maps the sorted
-    position back to the caller's instance index for the output."""
+    position back to the caller's instance index for the output.
 
-    def kernel(l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
-               mlo_ref, mhi_ref,
-               ids_ref, aff_ref, aabb_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tn_ref, tx_ref,
-               t_ref, inst_ref, row_ref, bit_ref):
+    ``mode="ao_fg"`` (the fused AO/shadow near + rough far walk) takes
+    an extra per-ray ``t_ao`` input and writes five outputs
+    (ao_t, ao_inst, fg_t, fg_inst, fg_row): both the near and the far
+    closest hits merge across instances in registers."""
+    fused = mode == "ao_fg"
+
+    def kernel(*refs):
+        (l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+         mlo_ref, mhi_ref, ids_ref, aff_ref, aabb_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tn_ref, tx_ref) = refs[:18]
+        if fused:
+            ta_ref = refs[18]
+            aot_ref, aoi_ref, fgt_ref, fgi_ref, fgr_ref = refs[19:]
+        else:
+            t_ref, inst_ref, row_ref, bit_ref = refs[18:]
         shape = ox_ref.shape
         owx, owy, owz = ox_ref[:], oy_ref[:], oz_ref[:]
         dwx, dwy, dwz = dx_ref[:], dy_ref[:], dz_ref[:]
         tn = tn_ref[:]
         tx0 = tx_ref[:]
+        ta0 = ta_ref[:] if fused else None
 
-        best = jnp.full(shape, jnp.inf, jnp.float32)
-        binst = jnp.full(shape, -1, jnp.int32)
-        brow = jnp.full(shape, -1, jnp.int32)
-        bbit = jnp.full(shape, -1, jnp.int32)
+        inf = jnp.full(shape, jnp.inf, jnp.float32)
+        neg1 = jnp.full(shape, -1, jnp.int32)
 
-        start = 0
-        for m, cnt in enumerate(inst_counts):
-            if cnt == 0:
-                continue
-            l1t = l1_ref[m]
+        def sweep(carry, merge):
+            """Static model loop x fori instance loop around
+            :func:`_traverse_core`; ``merge(carry, core_out, inv, oid)``
+            folds one instance's results into the accumulators."""
+            start = 0
+            for m, cnt in enumerate(inst_counts):
+                if cnt == 0:
+                    continue
+                l1t = l1_ref[m]
 
-            def one_instance(i, carry, _m=m, _l1t=l1t):
+                def one_instance(i, carry, _m=m, _l1t=l1t):
+                    def a(k):
+                        return aff_ref[i, k]
+
+                    # world -> object affine (world_to_obj rows).
+                    ox = a(0) * owx + a(1) * owy + a(2) * owz + a(3)
+                    oy = a(4) * owx + a(5) * owy + a(6) * owz + a(7)
+                    oz = a(8) * owx + a(9) * owy + a(10) * owz + a(11)
+                    dx = a(0) * dwx + a(1) * dwy + a(2) * dwz
+                    dy = a(4) * dwx + a(5) * dwy + a(6) * dwz
+                    dz = a(8) * dwx + a(9) * dwy + a(10) * dwz
+                    dlen = jnp.maximum(
+                        jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-20)
+                    inv = 1.0 / dlen
+                    dx, dy, dz = dx * inv, dy * inv, dz * inv
+
+                    # Closest-so-far cap: in fused mode the far (fg)
+                    # accumulator bounds the walk — fg hits only exist
+                    # past t_ao, so the cap never truncates the near
+                    # (ao) search range.
+                    tx = jnp.minimum(tx0, carry[2] if fused else carry[0])
+
+                    # Model-AABB clip in s units (clip_to_model_aabb
+                    # parity).
+                    rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
+                    zero = jnp.zeros(shape, jnp.float32)
+                    lo, hi = _slab3(
+                        ox, oy, oz, rx, ry, rz,
+                        zero + aabb_ref[_m, 0], zero + aabb_ref[_m, 1],
+                        zero + aabb_ref[_m, 2], zero + aabb_ref[_m, 3],
+                        zero + aabb_ref[_m, 4], zero + aabb_ref[_m, 5])
+                    s_min = jnp.maximum(tn * dlen, lo)
+                    s_stop = jnp.minimum(tx * dlen, hi)
+
+                    core = _traverse_core(
+                        _l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+                        mlo_ref, mhi_ref,
+                        ox, oy, oz, dx, dy, dz, s_min, s_stop,
+                        model_chunks[_m], mode, rounds, march_cap,
+                        micro_cap,
+                        s_ao=(ta0 * dlen if fused else None),
+                        l2_base=_m * 4, mask_base=_m * CL,
+                    )
+                    return merge(carry, core, inv, ids_ref[i])
+
+                if cnt == 1:
+                    carry = one_instance(jnp.int32(start), carry)
+                else:
+                    carry = jax.lax.fori_loop(start, start + cnt,
+                                              one_instance, carry)
+                start += cnt
+            return carry
+
+        if fused:
+            def merge(carry, core, inv, oid):
+                ao_b, ao_i, fg_b, fg_i, fg_r = carry
+                ao_s, fg_s, fg_row = core
+                ao_t = ao_s * inv
+                fg_t = fg_s * inv
+                ao_c = ao_t < ao_b
+                fg_c = fg_t < fg_b
+                return (jnp.where(ao_c, ao_t, ao_b),
+                        jnp.where(ao_c, oid, ao_i),
+                        jnp.where(fg_c, fg_t, fg_b),
+                        jnp.where(fg_c, oid, fg_i),
+                        jnp.where(fg_c, fg_row, fg_r))
+
+            ao_b, ao_i, fg_b, fg_i, fg_r = sweep(
+                (inf, neg1, inf, neg1, neg1), merge)
+            aot_ref[:] = ao_b
+            aoi_ref[:] = ao_i
+            fgt_ref[:] = fg_b
+            fgi_ref[:] = fg_i
+            fgr_ref[:] = fg_r
+        else:
+            def merge(carry, core, inv, oid):
                 best, binst, brow, bbit = carry
-
-                def a(k):
-                    return aff_ref[i, k]
-
-                # world -> object affine (world_to_obj rows).
-                ox = a(0) * owx + a(1) * owy + a(2) * owz + a(3)
-                oy = a(4) * owx + a(5) * owy + a(6) * owz + a(7)
-                oz = a(8) * owx + a(9) * owy + a(10) * owz + a(11)
-                dx = a(0) * dwx + a(1) * dwy + a(2) * dwz
-                dy = a(4) * dwx + a(5) * dwy + a(6) * dwz
-                dz = a(8) * dwx + a(9) * dwy + a(10) * dwz
-                dlen = jnp.maximum(
-                    jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-20)
-                inv = 1.0 / dlen
-                dx, dy, dz = dx * inv, dy * inv, dz * inv
-
-                tx = jnp.minimum(tx0, best)
-
-                # Model-AABB clip in s units (clip_to_model_aabb parity).
-                rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
-                zero = jnp.zeros(shape, jnp.float32)
-                lo, hi = _slab3(
-                    ox, oy, oz, rx, ry, rz,
-                    zero + aabb_ref[_m, 0], zero + aabb_ref[_m, 1],
-                    zero + aabb_ref[_m, 2], zero + aabb_ref[_m, 3],
-                    zero + aabb_ref[_m, 4], zero + aabb_ref[_m, 5])
-                s_min = jnp.maximum(tn * dlen, lo)
-                s_stop = jnp.minimum(tx * dlen, hi)
-
-                hit_s, hit_row, hit_bit, _sres, _act = _traverse_core(
-                    _l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
-                    mlo_ref, mhi_ref,
-                    ox, oy, oz, dx, dy, dz, s_min, s_stop,
-                    model_chunks[_m], mode, rounds, march_cap, micro_cap,
-                    l2_base=_m * 4, mask_base=_m * CL,
-                )
+                hit_s, hit_row, hit_bit = core[:3]
                 t_new = hit_s * inv
                 closer = t_new < best
-                oid = ids_ref[i]
                 return (jnp.where(closer, t_new, best),
                         jnp.where(closer, oid, binst),
                         jnp.where(closer, hit_row, brow),
                         jnp.where(closer, hit_bit, bbit))
 
-            carry = (best, binst, brow, bbit)
-            if cnt == 1:
-                carry = one_instance(jnp.int32(start), carry)
-            else:
-                carry = jax.lax.fori_loop(start, start + cnt, one_instance,
-                                          carry)
-            best, binst, brow, bbit = carry
-            start += cnt
-
-        t_ref[:] = best
-        inst_ref[:] = binst
-        row_ref[:] = brow
-        bit_ref[:] = bbit
+            best, binst, brow, bbit = sweep((inf, neg1, neg1, neg1), merge)
+            t_ref[:] = best
+            inst_ref[:] = binst
+            row_ref[:] = brow
+            bit_ref[:] = bbit
 
     return kernel
 
@@ -1004,9 +1048,10 @@ def _trace_pallas_scene(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
                         ids, aff, aabb,
                         ox, oy, oz, dx, dy, dz, tn, tx,
                         CL, model_chunks, inst_counts, mode, rounds,
-                        march_cap=160, interpret=False):
+                        march_cap=160, interpret=False, ta=None):
     n_rows = ox.shape[0]
     grid = (n_rows // ROWS,)
+    fused = mode == "ao_fg"
     kernel = _make_scene_kernel(CL, model_chunks, inst_counts, mode, rounds,
                                 march_cap=march_cap, micro_cap=12)
 
@@ -1014,20 +1059,33 @@ def _trace_pallas_scene(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
+    n_ray_in = 9 if fused else 8
+    f32 = jnp.float32
+    if fused:
+        out_shape = [
+            jax.ShapeDtypeStruct((n_rows, LANES), f32),        # ao_t
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),  # ao_inst
+            jax.ShapeDtypeStruct((n_rows, LANES), f32),        # fg_t
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),  # fg_inst
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),  # fg_row
+        ]
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((n_rows, LANES), f32),        # t (param)
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),  # inst
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),  # row
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),  # bit
+        ]
+    args = [l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, ids, aff, aabb,
+            ox, oy, oz, dx, dy, dz, tn, tx] + ([ta] if fused else [])
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tab_spec] * 7 + [smem_spec] * 3 + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # t (param)
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # inst
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # row
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # bit
-        ],
+        in_specs=[tab_spec] * 7 + [smem_spec] * 3 + [ray_spec] * n_ray_in,
+        out_specs=[ray_spec] * len(out_shape),
+        out_shape=out_shape,
         interpret=interpret,
-    )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, ids, aff, aabb,
-      ox, oy, oz, dx, dy, dz, tn, tx)
+    )(*args)
     return out
 
 
@@ -1308,11 +1366,21 @@ def trace_scene_pallas_ao_fg(scene, origin, direction, t_min, t_ao, t_max,
     """Fused AO + final-gather over every instance. Returns two
     TraceResults (ao, fg): ao carries only t/inst (row/bit are -1 — the
     pipeline reads ao.hit and ao.t; ambient_occlusion.rchit packs hitT
-    alone), fg matches the rough trace contract."""
+    alone), fg matches the rough trace contract.
+
+    Default path is the batched one-dispatch scene kernel (both the
+    near and far closest-hit accumulators merge across instances in
+    registers); ``DUST_PALLAS_SCENE=loop`` forces the per-instance loop
+    for A/B."""
     from dust_tpu.ops.traverse import TraceResult, clip_to_model_aabb
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    if _os.environ.get("DUST_PALLAS_SCENE") != "loop":
+        return _trace_scene_ao_fg_batched(
+            scene, origin, direction, t_min, t_ao, t_max,
+            rounds=rounds, interpret=interpret)
 
     n = origin.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -1357,6 +1425,65 @@ def trace_scene_pallas_ao_fg(scene, origin, direction, t_min, t_ao, t_max,
     return ao, fg
 
 
+def _trace_scene_ao_fg_batched(scene, origin, direction, t_min, t_ao,
+                               t_max, rounds: int, interpret: bool):
+    """Batched-kernel body of :func:`trace_scene_pallas_ao_fg`."""
+    from dust_tpu.ops.traverse import TraceResult
+
+    n = origin.shape[0]
+    I = scene.num_instances
+    M = scene.num_models
+    CL = scene.pl_mlo.shape[1]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_ao = jnp.broadcast_to(jnp.asarray(t_ao, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    neg1 = -jnp.ones(n, jnp.int32)
+    if I == 0:
+        inf = jnp.full(n, jnp.inf)
+        return (TraceResult(t=inf, inst=neg1, row=neg1, bit=neg1),
+                TraceResult(t=inf, inst=neg1, row=neg1, bit=neg1))
+
+    block = ROWS * LANES
+    pad = (-n) % block
+
+    def prep(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
+        return x.reshape(-1, LANES)
+
+    order = sorted(range(I), key=lambda i: scene.inst_model[i])
+    inst_counts = tuple(
+        sum(1 for im in scene.inst_model if im == m) for m in range(M))
+    ids = jnp.asarray(order, jnp.int32)
+    aff = scene.world_to_obj[np.asarray(order)].reshape(I, 12)
+    aabb = jnp.concatenate([scene.model_aabb_min, scene.model_aabb_max],
+                           axis=-1)
+
+    ao_t, ao_i, fg_t, fg_i, fg_row = _trace_pallas_scene(
+        scene.pl_l1,
+        scene.pl_l2w0.reshape(M * 4, 8, 128),
+        scene.pl_l2w1.reshape(M * 4, 8, 128),
+        scene.pl_l2r0.reshape(M * 4, 8, 128),
+        scene.pl_l2r1.reshape(M * 4, 8, 128),
+        scene.pl_mlo.reshape(M * CL, 8, 128),
+        scene.pl_mhi.reshape(M * CL, 8, 128),
+        ids, aff, aabb,
+        prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
+        prep(direction[:, 0], 1.0), prep(direction[:, 1], 1.0),
+        prep(direction[:, 2], 1.0),
+        prep(t_min), prep(t_max, -1.0),
+        CL=CL, model_chunks=tuple(scene.pl_chunks),
+        inst_counts=inst_counts, mode="ao_fg", rounds=rounds,
+        interpret=interpret, ta=prep(t_ao, -1.0),
+    )
+    ao = TraceResult(t=ao_t.reshape(-1)[:n], inst=ao_i.reshape(-1)[:n],
+                     row=neg1, bit=neg1)
+    fg = TraceResult(t=fg_t.reshape(-1)[:n], inst=fg_i.reshape(-1)[:n],
+                     row=fg_row.reshape(-1)[:n], bit=neg1)
+    return ao, fg
+
+
 def stack_tables(tables: list[PallasTables], min_chunks: int = 1):
     """Stack per-model tables into (M, ...) arrays padded to a common
     mask-chunk count (for DeviceScene storage). ``min_chunks`` reserves
@@ -1377,11 +1504,19 @@ def stack_tables(tables: list[PallasTables], min_chunks: int = 1):
 
 
 def _xform_point(a34, p):
-    return jnp.einsum("ij,nj->ni", a34[:, :3], p, precision="highest") + a34[:, 3]
+    # Scalar-broadcast VPU apply — an einsum pads (N,3)@(3,3) onto the
+    # MXU at 3/128 lane use (~8x the cost; see shade._inst_xform).
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return jnp.stack(
+        [a34[k, 0] * x + a34[k, 1] * y + a34[k, 2] * z + a34[k, 3]
+         for k in range(3)], axis=-1)
 
 
 def _xform_dir(a34, d):
-    return jnp.einsum("ij,nj->ni", a34[:, :3], d, precision="highest")
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return jnp.stack(
+        [a34[k, 0] * x + a34[k, 1] * y + a34[k, 2] * z
+         for k in range(3)], axis=-1)
 
 
 def trace_scene_pallas_batched(scene, origin, direction, t_min, t_max,

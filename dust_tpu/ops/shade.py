@@ -29,18 +29,27 @@ def _popcount32(x):
 def _inst_xform(arrs, inst, p, with_translation):
     """Apply per-ray instance affines by static select over the (tiny)
     instance list — elementwise selects beat a (N,3,4) gather + batched
-    einsum by an order of magnitude on TPU."""
-    num = arrs.shape[0]
-    lin0 = arrs[0, :, :3]
-    out = jnp.einsum("ij,nj->ni", lin0, p, precision="highest")
-    if with_translation:
-        out = out + arrs[0, :, 3]
-    for i in range(1, num):
-        cand = jnp.einsum("ij,nj->ni", arrs[i, :, :3], p, precision="highest")
+    einsum by an order of magnitude on TPU. The 3x3 apply itself is
+    written as scalar-broadcast mul/adds (VPU): an einsum lowers to the
+    MXU where a (N,3)@(3,3) pads 3->128 lanes both ways — measured
+    ~0.4 ms/einsum at 2M rays vs ~0.05 ms for the 15 vector ops."""
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+
+    def apply(i):
+        m = arrs[i]
+        o = [m[0, 0] * px + m[0, 1] * py + m[0, 2] * pz,
+             m[1, 0] * px + m[1, 1] * py + m[1, 2] * pz,
+             m[2, 0] * px + m[2, 1] * py + m[2, 2] * pz]
         if with_translation:
-            cand = cand + arrs[i, :, 3]
-        out = jnp.where((inst == i)[:, None], cand, out)
-    return out
+            o = [o[k] + m[k, 3] for k in range(3)]
+        return o
+
+    out = apply(0)
+    for i in range(1, arrs.shape[0]):
+        cand = apply(i)
+        sel = inst == i
+        out = [jnp.where(sel, cand[k], out[k]) for k in range(3)]
+    return jnp.stack(out, axis=-1)
 
 
 def resolve_hits(scene, res, origin_w, dir_w):
