@@ -591,7 +591,14 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
                                  fx, fy, fz, fx + 4.0, fy + 4.0, fz + 4.0)
 
         if mode == "ao_threshold":
-            thr_inside = cand & active & (s <= s_stop) & (s_stop <= blk_out)
+            # The entry-report quirk plane is the ray's committed tmax
+            # (ambient_occlusion.rint reads gl_RayTmaxEXT, which hardware
+            # never clips to a BLAS AABB). Callers that tighten s_stop to
+            # the model box must pass the true threshold via ``s_ao`` or
+            # keep s_stop unclipped — a box-clipped plane fires spurious
+            # entry-reports in boundary blocks.
+            s_thr = s_stop if s_ao is None else s_ao
+            thr_inside = cand & active & (s <= s_thr) & (s_thr <= blk_out)
             ok = thr_inside & (s <= s_end)
             hit_s = jnp.where(ok, s, hit_s)
             hit_row = jnp.where(ok, row, hit_row)
@@ -914,8 +921,17 @@ def _make_scene_kernel(CL: int, model_chunks: tuple, inst_counts: tuple,
     ``mode="ao_fg"`` (the fused AO/shadow near + rough far walk) takes
     an extra per-ray ``t_ao`` input and writes five outputs
     (ao_t, ao_inst, fg_t, fg_inst, fg_row): both the near and the far
-    closest hits merge across instances in registers."""
+    closest hits merge across instances in registers.
+
+    At >2 instances a scalar cond skips an instance's traversal rounds
+    + merge whenever the whole tile misses its AABB (or is already
+    capped closer): a culled instance still pays ~2k cycles of round
+    bookkeeping/`any()` syncs otherwise, which is what made an 11-
+    instance scene cost 4.4× the 2-instance frame. At ≤2 instances the
+    ~120-cycle gate sync can't pay for itself, so the code is emitted
+    gate-free (headline path unchanged)."""
     fused = mode == "ao_fg"
+    cull_gate = sum(inst_counts) > 2
 
     def kernel(*refs):
         (l1_ref, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
@@ -981,16 +997,34 @@ def _make_scene_kernel(CL: int, model_chunks: tuple, inst_counts: tuple,
                     s_min = jnp.maximum(tn * dlen, lo)
                     s_stop = jnp.minimum(tx * dlen, hi)
 
-                    core = _traverse_core(
-                        _l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
-                        mlo_ref, mhi_ref,
-                        ox, oy, oz, dx, dy, dz, s_min, s_stop,
-                        model_chunks[_m], mode, rounds, march_cap,
-                        micro_cap,
-                        s_ao=(ta0 * dlen if fused else None),
-                        l2_base=_m * 4, mask_base=_m * CL,
-                    )
-                    return merge(carry, core, inv, ids_ref[i])
+                    if fused:
+                        s_ao_val = ta0 * dlen
+                    elif mode == "ao_threshold":
+                        # True quirk plane: committed tmax, NOT clipped
+                        # to the model box (see _traverse_core note).
+                        s_ao_val = tx * dlen
+                    else:
+                        s_ao_val = None
+
+                    def run(c):
+                        core = _traverse_core(
+                            _l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
+                            mlo_ref, mhi_ref,
+                            ox, oy, oz, dx, dy, dz, s_min, s_stop,
+                            model_chunks[_m], mode, rounds, march_cap,
+                            micro_cap,
+                            s_ao=s_ao_val,
+                            l2_base=_m * 4, mask_base=_m * CL,
+                        )
+                        return merge(c, core, inv, ids_ref[i])
+
+                    if cull_gate:
+                        # Conservative superset of _traverse_core's
+                        # activation (active ⇒ s_min < s_stop), so the
+                        # skip is exact.
+                        return jax.lax.cond(jnp.any(s_min < s_stop),
+                                            run, lambda c: c, carry)
+                    return run(carry)
 
                 if cnt == 1:
                     carry = one_instance(jnp.int32(start), carry)
@@ -1326,8 +1360,10 @@ def trace_instance_pallas_ao_fg(tables, origin, direction,
                                 t_min, t_ao, t_max,
                                 rounds: int = 64, interpret: bool = False):
     """Fused AO + final-gather trace against one model: one traversal of
-    the shared cosine ray (contract: ``t_min <= t_ao <= t_max`` per
-    active lane; inactive lanes carry ``t_ao = t_max = -1``). Returns
+    the shared cosine ray (inactive lanes carry ``t_ao = t_max = -1``).
+    ``t_ao`` may exceed ``t_max`` (e.g. a box-clipped t_max): the quirk
+    plane then lies past every reachable block and never fires, matching
+    hardware (gl_RayTmaxEXT is not box-clipped). Returns
     (ao_t, fg_t, fg_row) with t = inf on miss."""
     n = origin.shape[0]
     dlen = jnp.maximum(jnp.linalg.norm(direction, axis=-1), 1e-20)
@@ -1407,8 +1443,10 @@ def trace_scene_pallas_ao_fg(scene, origin, direction, t_min, t_ao, t_max,
         # never clips the AO range.
         cap = jnp.minimum(t_max, fg_t)
         tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap)
+        # t_ao passes through UNCLIPPED: the AO quirk plane is the ray's
+        # committed tmax, never the model-box exit (see _traverse_core).
         a_t, f_t, f_row = trace_instance_pallas_ao_fg(
-            tables, o_obj, d_obj, tn, jnp.minimum(t_ao, cap), cap,
+            tables, o_obj, d_obj, tn, t_ao, cap,
             rounds=rounds, interpret=interpret,
         )
         a_closer = a_t < ao_t
@@ -1630,9 +1668,15 @@ def trace_scene_pallas(scene, origin, direction, t_min, t_max,
         w2o = scene.world_to_obj[i]
         o_obj = _xform_point(w2o, origin)
         d_obj = _xform_dir(w2o, direction)
-        cap = jnp.minimum(t_max, best_t)
+        cap0 = jnp.minimum(t_max, best_t)
         from dust_tpu.ops.traverse import clip_to_model_aabb
-        tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap)
+        tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap0)
+        if mode == "ao_threshold":
+            # The quirk plane is s_stop in the instance kernel; keep it
+            # at the committed tmax (box-clipping it fires spurious
+            # entry-reports in boundary blocks — hardware never clips
+            # gl_RayTmaxEXT per BLAS). The box clip still culls misses.
+            cap = jnp.where(cap < tn, cap, cap0)
         tracer = trace_instance_pallas_2p if two_phase else \
             trace_instance_pallas
         t, row, bit = tracer(

@@ -324,8 +324,15 @@ def trace_scene(
         w2o = scene.world_to_obj[i]
         o_obj = _xform_point(w2o, origin)
         d_obj = _xform_dir(w2o, direction)
-        cap = jnp.minimum(t_max, best_t)
-        tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap)
+        cap0 = jnp.minimum(t_max, best_t)
+        tn, cap = clip_to_model_aabb(scene, m, o_obj, d_obj, t_min, cap0)
+        if mode == "ao_threshold":
+            # The AO entry-report quirk plane is the committed tmax
+            # (gl_RayTmaxEXT) — hardware never clips it to a BLAS AABB,
+            # so the box clip must not lower it either (it fires spurious
+            # entry-reports in boundary blocks). The clip still culls
+            # box-missing rays via tn > cap.
+            cap = jnp.where(cap < tn, cap, cap0)
         t, row, bit = trace_instance(
             scene.cell_info[m], scene.mask_lo[m], scene.mask_hi[m],
             o_obj, d_obj, tn, cap, mode=mode, max_iters=max_iters,

@@ -53,6 +53,103 @@ class TestMultiInstance:
         np.testing.assert_allclose(m[1], 0.0, atol=1e-4)
 
 
+def _five_teapots():
+    """5 instances of one model spread along x — far enough apart that
+    most ray tiles miss most instances, exercising the batched kernel's
+    >2-instance tile-cull cond path."""
+    scene = load_vox_scene(procgen.teapot_scene_bytes())
+    inst = scene.instances[0]
+    for k in range(1, 5):
+        t = inst.transform.copy()
+        t[:3, 3] += np.asarray([120.0 * k, 10.0 * k, 15.0 * k], np.float32)
+        scene.instances.append(VoxInstance(inst.model_id, t, name=f"tp{k}"))
+    return scene
+
+
+class TestInstanceCullGate:
+    """The batched scene kernel emits a per-(tile, instance) scalar skip
+    cond when the scene has >2 instances; these pin that path to the
+    per-instance loop oracle (and the XLA wavefront) exactly."""
+
+    def test_batched_matches_loop_five_instances(self, monkeypatch):
+        from dust_tpu.ops.pallas_trace import trace_scene_pallas
+
+        dev = build_device_scene(_five_teapots())
+        c2w = cam.look_at((250.0, 180.0, 420.0), (240.0, 30.0, 30.0))
+        cs = cam.camera_settings(c2w, 1.1, 0.1, 10000.0, 128, 64)
+        d = jnp.asarray(
+            np.array(cam.camera_ray_dirs(cs, 128, 64)).reshape(-1, 3))
+        n = d.shape[0]
+        o = jnp.broadcast_to(jnp.asarray(np.array(cs.position)), (n, 3))
+
+        for mode in ("precise", "rough"):
+            a = trace_scene_pallas(dev, o, d, 0.1, 10000.0, mode=mode,
+                                   interpret=True)
+            monkeypatch.setenv("DUST_PALLAS_SCENE", "loop")
+            b = trace_scene_pallas(dev, o, d, 0.1, 10000.0, mode=mode,
+                                   interpret=True)
+            monkeypatch.delenv("DUST_PALLAS_SCENE")
+            assert int(np.asarray(a.hit).sum()) > 80  # scene actually hit
+            assert len(set(np.asarray(a.inst)[np.asarray(a.hit)])) >= 3
+            if mode == "precise":
+                np.testing.assert_array_equal(np.array(a.inst),
+                                              np.array(b.inst))
+                np.testing.assert_array_equal(np.array(a.row), np.array(b.row))
+                np.testing.assert_array_equal(np.array(a.bit), np.array(b.bit))
+            else:
+                # rough entry rejection (blk_in >= s_min) sits on an fp
+                # boundary: the batched kernel normalises directions
+                # in-kernel, the loop host-side — a 1-ulp s_min shift can
+                # move a grazing entry by one block (same class as the
+                # documented two-phase caveat).
+                assert (np.array(a.inst) == np.array(b.inst)).mean() >= 0.999
+                assert (np.array(a.row) == np.array(b.row)).mean() >= 0.999
+            ta, tb = np.array(a.t), np.array(b.t)
+            both = (np.isfinite(ta) & np.isfinite(tb)
+                    & (np.array(a.row) == np.array(b.row)))
+            np.testing.assert_allclose(ta[both], tb[both], rtol=1e-5)
+
+    def test_batched_ao_fg_matches_loop_five_instances(self, monkeypatch):
+        from dust_tpu.ops.pallas_trace import (trace_scene_pallas,
+                                               trace_scene_pallas_ao_fg)
+
+        dev = build_device_scene(_five_teapots())
+        rng = np.random.default_rng(5)
+        c2w = cam.look_at((250.0, 180.0, 420.0), (240.0, 30.0, 30.0))
+        cs = cam.camera_settings(c2w, 1.1, 0.1, 10000.0, 128, 64)
+        d0 = jnp.asarray(
+            np.array(cam.camera_ray_dirs(cs, 128, 64)).reshape(-1, 3))
+        n = d0.shape[0]
+        o0 = jnp.broadcast_to(jnp.asarray(np.array(cs.position)), (n, 3))
+        prim = trace_scene_pallas(dev, o0, d0, 0.1, 10000.0,
+                                  mode="precise", interpret=True)
+        t0 = jnp.where(prim.hit, prim.t, 0.0)
+        o = o0 + d0 * t0[:, None] * 0.999
+        dn = rng.normal(size=(n, 3))
+        dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
+        d = jnp.asarray(dn.astype(np.float32))
+        act = prim.hit
+        t_ao = jnp.where(act, 8.0, -1.0)
+        t_fg = jnp.where(act, 10000.0, -1.0)
+
+        ao_a, fg_a = trace_scene_pallas_ao_fg(dev, o, d, 0.1, t_ao, t_fg,
+                                              interpret=True)
+        monkeypatch.setenv("DUST_PALLAS_SCENE", "loop")
+        ao_b, fg_b = trace_scene_pallas_ao_fg(dev, o, d, 0.1, t_ao, t_fg,
+                                              interpret=True)
+        monkeypatch.delenv("DUST_PALLAS_SCENE")
+
+        assert (np.array(ao_a.hit) == np.array(ao_b.hit)).mean() >= 0.999
+        both = np.array(ao_a.hit) & np.array(ao_b.hit)
+        assert both.sum() > 50
+        np.testing.assert_allclose(np.array(ao_a.t)[both],
+                                   np.array(ao_b.t)[both], rtol=1e-4)
+        assert (np.array(fg_a.hit) == np.array(fg_b.hit)).mean() >= 0.999
+        b = np.array(fg_a.hit) & np.array(fg_b.hit)
+        assert (np.array(fg_a.row)[b] == np.array(fg_b.row)[b]).mean() >= 0.999
+        assert (np.array(fg_a.inst)[b] == np.array(fg_b.inst)[b]).mean() >= 0.999
+
+
 class TestCameraParity:
     def test_ray_dir_formula(self):
         # camera.glsl:4-16 exact formula at chosen pixels.
