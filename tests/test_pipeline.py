@@ -358,3 +358,43 @@ class TestMaterialSeam:
         # to GI noise.
         assert lit[tp_px].mean() > plain[tp_px].mean() + 0.02
         np.testing.assert_allclose(lit[~tp_px], plain[~tp_px], atol=0.06)
+
+
+class TestStressScene:
+    def test_many_instance_frame_with_refresh_budget(self):
+        """The stress preset's shape at test scale: a 2×2 castle grid + 1
+        teapot (5 instances, 2 models) renders a sane frame end-to-end
+        with a dense-GI refresh budget SMALLER than the cell count, so
+        the rotating-slice path (`bench.py --config stress`'s regime) is
+        exercised on CPU."""
+        vox_scene, anim = procgen.stress_scene(grid=2, teapots=1)
+        scene = build_device_scene(vox_scene)
+        assert scene.num_instances == 5 and scene.num_models == 2
+        from dust_tpu.ops.gi_cache import dense_rows
+        budget = dense_rows(scene) // 3
+        settings = RenderSettings(
+            width=96, height=54,
+            spatial_hash=SpatialHashSettings(capacity=1 << 14),
+            surfels=SurfelSettings(pool_size=1024,
+                                   dense_refresh_budget=budget),
+        )
+        sky = bake_sky(settings.sunlight)
+        bn = load_blue_noise()
+        cs = cam.camera_settings(
+            cam.look_at((260, 420, 180), (0, 0, 0)), settings.camera.fov,
+            settings.camera.near, settings.camera.far,
+            settings.width, settings.height)
+        state = make_frame_state(settings, scene)
+        for f in range(2):
+            o2w = procgen.teapot_motion(
+                np.array(scene.obj_to_world), anim, f)
+            sc = scene.with_transforms(jnp.asarray(o2w))
+            out, aux, state = render_frame(
+                sc, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+                settings, tile=2048)
+        o = np.array(out)
+        assert np.isfinite(o).all() and o.std() > 0.05
+        # Multiple castle instances are actually visible.
+        inst = np.array(aux["voxel_id"]).reshape(-1) & 0xFFFF
+        hits = inst[inst != 0xFFFF]
+        assert len(set(hits.tolist())) >= 3
