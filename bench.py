@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--hash-capacity", type=int, default=None,
                     help="spatial-hash capacity for --gi-cache hash "
                     "(reference scale: 1<<25 = 32Mi entries)")
+    ap.add_argument("--ws-slices", type=int, default=1,
+                    help="hash mode: re-probe only a rotating 1/N of the "
+                    "GI working set per frame (see SpatialHashSettings."
+                    "ws_refresh_slices)")
+    ap.add_argument("--pool-budget", type=int, default=0,
+                    help="hash mode: trace only a rotating slice of this "
+                    "many surfel-pool slots per frame (0 = whole pool)")
     ap.add_argument(
         "--config", default=None,
         choices=["gi", "primary-shadow", "gi-4k", "hash-reference",
@@ -101,8 +108,10 @@ def main():
     direct_only = args.config == "primary-shadow"
     settings = RenderSettings(
         width=width, height=height,
-        spatial_hash=SpatialHashSettings(capacity=cap),
-        surfels=SurfelSettings(pool_size=pool),
+        spatial_hash=SpatialHashSettings(capacity=cap,
+                                         ws_refresh_slices=args.ws_slices),
+        surfels=SurfelSettings(pool_size=pool,
+                               pool_refresh_budget=args.pool_budget),
         traversal_backend=args.backend or ("pallas" if not args.cpu else "jnp"),
         gi_cache=args.gi_cache,
         fuse_ao_fg=args.fuse_gi,
@@ -218,7 +227,8 @@ def main():
             # fraction of `budget` rows (padding lanes trace nothing).
             patch_cells = int(budget * patch_cells / total_rows)
     else:
-        patch_cells = pool
+        patch_cells = min(pool, args.pool_budget) if args.pool_budget \
+            else pool
     # direct-only removes the AO/FG launches and the whole surfel pass
     # (CONTRIBUTION_* parity in render_frame).
     rays = (width * height * 2 if direct_only

@@ -77,6 +77,12 @@ class DenoiserSettings:
     fast_max_accumulated_frames: int = 4
     antilag_sigma: float = 3.0
     antilag_relative: float = 0.25
+    # Store the à-trous guide (color/luma/depth/normal/valid pack) in
+    # bfloat16: halves the 8-shifted-reads-per-iteration HBM traffic of
+    # the filter loop. Weight math stays f32; bf16's ~0.4% quantisation
+    # only perturbs edge-stopping weights (gated by the ground-truth
+    # RMSE tests).
+    atrous_guide_bf16: bool = False
     # Denoise the stochastic indirect (AO/final-gather/skylight) channel
     # at half resolution with a joint-bilateral upsample, compositing the
     # deterministic sun-NEE direct term at full resolution. Deviation
@@ -114,6 +120,16 @@ class SpatialHashSettings:
     # scatter is row-count bound; overflow defers deterministically to
     # later frames — spatial_hash.hash_insert). 0 = uncapped.
     insert_cap: int = 1 << 17
+    # Working-set probe rotation: the hash mode's per-frame working set
+    # (ONE hash_get per (instance, leaf, face) cell, see
+    # render/pipeline.py) re-probes only a rotating 1/N slice each frame
+    # when N > 1; the rest serves the value from its last probe (kept in
+    # FrameState.gi_ws). Error class matches the reference's own
+    # semantics: a reference cell's value also only changes when some
+    # pool surfel lands on it, which at a 345k pool over ~1M+ active
+    # cells is every few frames — the rotation adds at most N-1 frames
+    # of the same lag. 1 = probe every cell every frame.
+    ws_refresh_slices: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,6 +151,15 @@ class SurfelSettings:
     # per-frame ray cost stays O(budget) instead of O(instances × leaves).
     # None/0 = always refresh every cell.
     dense_refresh_budget: int = 720 * 480
+
+    # Hash-mode pool refresh budget: at most this many pool slots trace
+    # their refresh rays (cosine + sun NEE) per frame, rotating round-
+    # robin like dense_refresh_budget. The reference's own scheduler is
+    # stochastic (a cell with count c re-enqueues with p = 1/(c+2),
+    # surfel.rchit:95-105) so per-slot refresh is already every-few-
+    # frames there; the rotation makes the budget deterministic.
+    # None/0 = trace the whole pool every frame.
+    pool_refresh_budget: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

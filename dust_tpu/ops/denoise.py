@@ -191,6 +191,11 @@ def _fetch_history(history: jnp.ndarray, xy: jnp.ndarray):
     fy = y - y0
 
     r = jnp.take(quad, y0 * w + x0, axis=0)
+    # Barrier BEFORE the corner slices: without it XLA splits the take
+    # into two 24 B-row gathers (one per consumer half), paying the
+    # row-count-bound gather cost twice (2x2.5 ms measured at 1080p
+    # half-res instead of ~2.5 ms once).
+    r = jax.lax.optimization_barrier(r)
     return (r[..., :_C], r[..., _C:2 * _C], r[..., 2 * _C:3 * _C],
             r[..., 3 * _C:]), fx, fy
 
@@ -475,9 +480,11 @@ def denoise(
         guide = jnp.concatenate(
             [filtered, lum_f[..., None], depth_s[..., None], normal,
              valid_f[..., None]], axis=-1)  # (H,W,9)
+        if settings.atrous_guide_bf16:
+            guide = guide.astype(jnp.bfloat16)
         for dy, dx, kw in kernel:
             sy, sx = dy * step, dx * step
-            g_q = shift(guide, -sy, -sx)
+            g_q = shift(guide, -sy, -sx).astype(jnp.float32)
             c_q = g_q[..., 0:3]
             l_q = g_q[..., 3]
             d_q = g_q[..., 4]

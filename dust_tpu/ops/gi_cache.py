@@ -104,6 +104,20 @@ def make_dense_gi_cache(scene) -> DenseGICache:
         jnp.stack([zeros, zeros, alb6], axis=-1), jnp.int32))
 
 
+def pack_working_set_rows(radiance: jnp.ndarray, count: jnp.ndarray,
+                          albedo_col: jnp.ndarray) -> jnp.ndarray:
+    """Pack probed radiance/counts into (S, 3) int32 cache rows, carrying
+    the caller's (S, 1) int32 albedo column through (the albedo words are
+    static per scene — rotating-slice updates re-use the persistent
+    working set's own column 2)."""
+    cnt = jnp.clip(count, 0, MAX_SAMPLE_COUNT).astype(jnp.uint32)
+    w0 = _f16_bits(radiance[:, 0]) | (_f16_bits(radiance[:, 1]) << 16)
+    w1 = _f16_bits(radiance[:, 2]) | (cnt << 16)
+    packed = jax.lax.bitcast_convert_type(
+        jnp.stack([w0, w1], axis=-1), jnp.int32)
+    return jnp.concatenate([packed, albedo_col], axis=-1)
+
+
 def pack_working_set(radiance: jnp.ndarray, count: jnp.ndarray,
                      scene) -> DenseGICache:
     """Pack per-(instance, leaf, face) radiance + sample counts into

@@ -56,6 +56,27 @@ ROWS = int(_os.environ.get("DUST_PALLAS_ROWS", "8"))
 _MASK_GATE = {"": False, "one": True}.get(
     _os.environ.get("DUST_MASK_GATE", ""),
     _os.environ.get("DUST_MASK_GATE", ""))
+# While-loop body unroll factors. Every while cond is a vector->scalar
+# sync (~120 cycles); at ~170-340 cycles of body work per iteration the
+# sync is a double-digit percentage of the loop, and frozen/dead lanes
+# are masked no-ops so over-running by unroll-1 iterations is harmless.
+_MARCH_UNROLL = int(_os.environ.get("DUST_MARCH_UNROLL", "2"))
+_MICRO_UNROLL = int(_os.environ.get("DUST_MICRO_UNROLL", "1"))
+
+
+def _compose(body, n: int):
+    """body applied n times (while-loop body unrolling)."""
+    if n <= 1:
+        return body
+
+    def unrolled(st):
+        for _ in range(n):
+            st = body(st)
+        return st
+
+    return unrolled
+
+
 # March in-cell block sub-steps per iteration: K extra cheap block
 # advances for lanes staying inside the register-resident L1 cell.
 # Measured sweep (castle+teapot in-frame rays, v5e): K=1 vs 0: primary
@@ -513,10 +534,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
 
         st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
               w0, w1, reg_cl, jnp.int32(0))
-        # 2x unroll: the while cond is a vector->scalar sync (~120
-        # cycles); frozen/dead rays are masked no-ops so running one
-        # extra step is harmless.
-        st = jax.lax.while_loop(cond, lambda st: body(body(st)), st)
+        st = jax.lax.while_loop(cond, _compose(body, _MARCH_UNROLL), st)
         return st[0] != 0, st[1], st[2] != 0, st[3], st[4]
 
     def cand_info(s, w0, w1):
@@ -677,7 +695,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         st = (in_micro.astype(jnp.int32), s_m, mx, my, mz, tmx, tmy, tmz,
               active.astype(jnp.int32), hit_s, hit_row, hit_bit,
               jnp.int32(0))
-        st = jax.lax.while_loop(mcond, mbody, st)
+        st = jax.lax.while_loop(mcond, _compose(mbody, _MICRO_UNROLL), st)
         active = st[8] != 0
         hit_s, hit_row, hit_bit = st[9], st[10], st[11]
 
@@ -804,7 +822,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             st = (in_micro.astype(jnp.int32), s_m, mx, my, mz,
                   tmx, tmy, tmz, active.astype(jnp.int32), ao_t,
                   jnp.int32(0))
-            st = jax.lax.while_loop(mcond, mbody, st)
+            st = jax.lax.while_loop(mcond, _compose(mbody, _MICRO_UNROLL), st)
             active2 = st[8] != 0
             ao_t = st[9]
 

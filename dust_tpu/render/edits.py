@@ -163,6 +163,15 @@ class SceneEditor:
             else:  # rebuild changed the row count
                 gi = gilib.make_dense_gi_cache(device)
             frame_state = frame_state._replace(gi=gi)
+        if getattr(frame_state, "gi_ws", None) is not None:
+            # Hash mode's persistent working set is keyed exactly like
+            # the dense cache — same refresh rules apply. Radiance in a
+            # re-created ws re-fills within one probe rotation.
+            if frame_state.gi_ws.table.shape[0] == gilib.dense_rows(device):
+                ws = gilib.refresh_dense_albedo(frame_state.gi_ws, device)
+            else:
+                ws = gilib.make_dense_gi_cache(device)
+            frame_state = frame_state._replace(gi_ws=ws)
         return device, frame_state
 
     def _try_leaf_patch(self, frame_state=None):
@@ -263,8 +272,10 @@ class SceneEditor:
         # ---- dense-GI albedo refresh rows -----------------------------
         gi = frame_state.gi if frame_state is not None else None
         dense = isinstance(gi, gilib.DenseGICache)
+        ws = getattr(frame_state, "gi_ws", None) \
+            if frame_state is not None else None
         gi_rows = gi_alb = None
-        if dense:
+        if dense or ws is not None:
             per_model = {m: [i for i, im in enumerate(inst_model) if im == m]
                          for m in set(models.tolist())}
             width = max(len(v) for v in per_model.values()) * 6
@@ -290,6 +301,18 @@ class SceneEditor:
         if dense:
             frame_state = frame_state._replace(
                 gi=gilib.DenseGICache(table=new_gi))
+        if ws is not None:
+            # Hash mode's persistent working set carries the same
+            # (instance, leaf_row, face)-keyed albedo words — patch the
+            # touched rows (one extra small dispatch; the hash table
+            # itself needs no refresh, its keys are world-space cells).
+            import jax.numpy as jnp
+            r = jnp.asarray(gi_rows.reshape(-1), jnp.int32)
+            a = jnp.asarray(gi_alb.reshape(-1), jnp.int32)
+            r = jnp.where(r >= 0, r, ws.table.shape[0])  # drop padding
+            tab = ws.table.at[r, 2].set(a, mode="drop")
+            frame_state = frame_state._replace(
+                gi_ws=gilib.DenseGICache(table=tab))
         return device, frame_state
 
     def _refit(self) -> DeviceScene:

@@ -75,6 +75,10 @@ class FrameState(NamedTuple):
     exposure_avg: jnp.ndarray   # () float32
     frame_index: jnp.ndarray    # () int32
     prev_view_proj: jnp.ndarray  # (4,4) float32
+    # Hash mode with ws_refresh_slices > 1: the persistent working set
+    # (a gilib.DenseGICache over the scene's (instance, leaf, face)
+    # cells) whose rotating slice re-probes each frame. None otherwise.
+    gi_ws: object = None
 
 
 def make_frame_state(settings: RenderSettings, scene=None) -> FrameState:
@@ -89,6 +93,13 @@ def make_frame_state(settings: RenderSettings, scene=None) -> FrameState:
         p = settings.surfels.pool_size
         surfels = jnp.zeros((p, 4), jnp.float32).at[:, 3].set(
             float(INVALID_SURFEL))
+    gi_ws = None
+    if settings.gi_cache == "hash" and settings.spatial_hash.ws_refresh_slices > 1:
+        if scene is None:
+            raise ValueError("ws_refresh_slices > 1 keeps a persistent "
+                             "working set sized from the scene; pass "
+                             "make_frame_state(settings, scene)")
+        gi_ws = gilib.make_dense_gi_cache(scene)
     half = (settings.denoiser.half_res_indirect
             and settings.height % 2 == 0 and settings.width % 2 == 0)
     div = 2 if half else 1
@@ -100,6 +111,7 @@ def make_frame_state(settings: RenderSettings, scene=None) -> FrameState:
         exposure_avg=jnp.asarray(1.0, jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
         prev_view_proj=jnp.eye(4, dtype=jnp.float32),
+        gi_ws=gi_ws,
     )
 
 
@@ -344,6 +356,7 @@ def render_frame(
     thr = settings.ambient_occlusion_threshold
     dense = settings.gi_cache == "dense"
     lmax = scene.mask_lo.shape[1]
+    new_gi_ws = state.gi_ws
     # Reference parity: the CONTRIBUTION_* defines are compile-time — with
     # every secondary contribution off, the AO/FG/surfel dispatches do not
     # exist in the reference's pipeline either, so the whole GI chain is
@@ -408,9 +421,37 @@ def render_frame(
             qpos6 = jnp.repeat(cellq, 6, axis=0)
             face6 = jnp.tile(jnp.arange(6, dtype=jnp.int32),
                              centers_w.shape[0])
-            w_found, w_rad, w_cnt = sh.hash_get(state.gi, qpos6, face6)
-            w_cnt = jnp.where(w_found & jnp.repeat(vleaf, 6), w_cnt, 0)
-            gi_reads = gilib.pack_working_set(w_rad, w_cnt, scene)
+            valid6 = jnp.repeat(vleaf, 6)
+            nslices = settings.spatial_hash.ws_refresh_slices
+            if nslices > 1 and state.gi_ws is not None:
+                # Rotating re-probe: only 1/N of the working set pays the
+                # big-table probe this frame (the probe is row-count
+                # bound, ~30 ms for 1.3M cells at 2^24+ capacity); the
+                # rest serves its last-probed value from state.gi_ws.
+                # See SpatialHashSettings.ws_refresh_slices for why this
+                # is the reference's own staleness class.
+                rows_total = qpos6.shape[0]
+                S = -(-rows_total // nslices)
+                start = jnp.minimum(
+                    (frame_index % nslices) * S, rows_total - S
+                ).astype(jnp.int32)
+                q_s = jax.lax.dynamic_slice(qpos6, (start, 0), (S, 3))
+                f_s = jax.lax.dynamic_slice(face6, (start,), (S,))
+                v_s = jax.lax.dynamic_slice(valid6, (start,), (S,))
+                w_found, w_rad, w_cnt = sh.hash_get(state.gi, q_s, f_s)
+                w_cnt = jnp.where(w_found & v_s, w_cnt, 0)
+                tab = state.gi_ws.table
+                alb_s = jax.lax.dynamic_slice(
+                    tab, (start, jnp.int32(2)), (S, 1))
+                slice_rows = gilib.pack_working_set_rows(w_rad, w_cnt, alb_s)
+                tab = jax.lax.dynamic_update_slice(
+                    tab, slice_rows, (start, jnp.int32(0)))
+                gi_reads = gilib.DenseGICache(table=tab)
+                new_gi_ws = gi_reads
+            else:
+                w_found, w_rad, w_cnt = sh.hash_get(state.gi, qpos6, face6)
+                w_cnt = jnp.where(w_found & valid6, w_cnt, 0)
+                gi_reads = gilib.pack_working_set(w_rad, w_cnt, scene)
 
         # Face computed analytically from the entry geometry and albedo
         # riding in the cache row — no leaf-row gather at all
@@ -506,9 +547,26 @@ def render_frame(
             p = surfel_pos.shape[0]
             s_normal = pk.face_id_to_normal(surfel_dir)
         else:
-            p = surfels.shape[0]
-            surfel_pos = surfels[:, :3]
-            surfel_dir = surfels[:, 3].astype(jnp.int32)
+            pool_total = surfels.shape[0]
+            pbudget = settings.surfels.pool_refresh_budget
+            if pbudget and pool_total > pbudget:
+                # Rotating pool slice (SurfelSettings.pool_refresh_budget):
+                # only `pbudget` slots trace refresh rays this frame. The
+                # reference's own per-slot refresh is stochastic-every-
+                # few-frames (p = 1/(count+2) re-enqueue), so the rotation
+                # changes scheduling determinism, not the staleness class.
+                pn = -(-pool_total // pbudget)
+                pool_start = jnp.minimum(
+                    (frame_index % pn) * pbudget,
+                    pool_total - pbudget).astype(jnp.int32)
+                pool_rows = jax.lax.dynamic_slice(
+                    surfels, (pool_start, 0), (pbudget, 4))
+            else:
+                pool_start = None
+                pool_rows = surfels
+            p = pool_rows.shape[0]
+            surfel_pos = pool_rows[:, :3]
+            surfel_dir = pool_rows[:, 3].astype(jnp.int32)
             s_valid = surfel_dir < 6
             s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
         s_origin = surfel_pos + 2.01 * s_normal
@@ -595,7 +653,12 @@ def render_frame(
             rq_rows = jnp.concatenate(
                 [s_center, s_face.astype(jnp.float32)[:, None]], axis=-1)
             # Slot i requeues into itself: the scatter is an elementwise select.
-            surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
+            if pool_start is not None:
+                upd = jnp.where(s_requeue[:, None], rq_rows, pool_rows)
+                surfels = jax.lax.dynamic_update_slice(
+                    surfels, upd, (pool_start, jnp.int32(0)))
+            else:
+                surfels = jnp.where(s_requeue[:, None], rq_rows, surfels)
 
     # -------------------------------------------------- 5. post
     half = settings.denoiser.half_res_indirect and H % 2 == 0 and W % 2 == 0
@@ -690,5 +753,6 @@ def render_frame(
         exposure_avg=new_avg,
         frame_index=frame_index + 1,
         prev_view_proj=cam.view_proj,
+        gi_ws=new_gi_ws,
     )
     return output, aux, new_state

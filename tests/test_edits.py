@@ -293,3 +293,39 @@ class TestLeafPatchFastPath:
         fresh = np.array(gilib.make_dense_gi_cache(dev2).table[:, 2]).view(
             np.uint32)
         np.testing.assert_array_equal(gi_alb, fresh)
+
+    def test_refit_refreshes_hash_ws_albedo(self):
+        """Hash mode with ws_refresh_slices > 1 keeps a persistent
+        working set keyed like the dense cache — both the leaf-patch and
+        splice refit paths must refresh its albedo words."""
+        import dataclasses
+        from dust_tpu.ops import gi_cache as gilib
+        from dust_tpu.config import RenderSettings
+        from dust_tpu.render.pipeline import make_frame_state
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        settings = RenderSettings(width=32, height=32, gi_cache="hash")
+        settings = dataclasses.replace(
+            settings, spatial_hash=dataclasses.replace(
+                settings.spatial_hash, ws_refresh_slices=2))
+        state = make_frame_state(settings, dev)
+        assert state.gi_ws is not None
+
+        # Leaf-patch path (palette change inside an existing leaf).
+        _, vx = self._find_occupied(vox)
+        ed.set_voxel(0, vx[0], palette_idx=11)
+        dev2, state2 = ed.refit(state)
+        assert ed.last_refit_mode == "leaf"
+        np.testing.assert_array_equal(
+            np.array(state2.gi_ws.table[:, 2]),
+            np.array(gilib.make_dense_gi_cache(dev2).table[:, 2]))
+
+        # Splice path (new leaf shifts row order).
+        ed2 = SceneEditor(vox, dev2)
+        ed2.set_voxel(0, (0, 0, 0), palette_idx=7)
+        dev3, state3 = ed2.refit(state2)
+        assert ed2.last_refit_mode == "splice"
+        np.testing.assert_array_equal(
+            np.array(state3.gi_ws.table[:, 2]),
+            np.array(gilib.make_dense_gi_cache(dev3).table[:, 2]))

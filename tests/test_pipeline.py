@@ -398,3 +398,55 @@ class TestStressScene:
         inst = np.array(aux["voxel_id"]).reshape(-1) & 0xFFFF
         hits = inst[inst != 0xFFFF]
         assert len(set(hits.tolist())) >= 3
+
+
+class TestHashRotation:
+    """Hash-mode cost rotations: working-set probe slices
+    (SpatialHashSettings.ws_refresh_slices) and the surfel-pool refresh
+    budget (SurfelSettings.pool_refresh_budget)."""
+
+    def test_ws_rotation_and_pool_budget_converge(self, setup):
+        import dataclasses
+        settings, scene, sky, bn, cs = setup
+        rot = dataclasses.replace(
+            settings,
+            spatial_hash=dataclasses.replace(
+                settings.spatial_hash, ws_refresh_slices=3),
+            surfels=dataclasses.replace(
+                settings.surfels, pool_refresh_budget=512),
+        )
+        rsetup = (rot, scene, sky, bn, cs)
+        s0 = make_frame_state(settings)
+        s1 = make_frame_state(rot, scene)
+        assert s1.gi_ws is not None and s0.gi_ws is None
+        for _ in range(6):
+            out0, _a0, s0 = _frame(setup, s0)
+            out1, _a1, s1 = _frame(rsetup, s1)
+        a, b = np.array(out0), np.array(out1)
+        assert np.isfinite(b).all()
+        # After two full ws rotations the stale-read lag (<=2 frames of
+        # GI age on 2/3 of cells) is far inside the temporal filter's
+        # own smoothing; the image must match the unrotated hash run
+        # closely (same scene, same noise, same camera).
+        rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+        assert rmse < 0.05, rmse
+        # The persistent working set actually filled: its count column
+        # is nonzero somewhere in every third of the table.
+        cnt = np.array(s1.gi_ws.count)
+        rows = cnt.shape[0]
+        S = -(-rows // 3)
+        for k in range(3):
+            lo = min(k * S, rows - S)
+            assert (cnt[lo:lo + S] > 0).sum() > 0, f"ws slice {k} never probed"
+
+    def test_pack_working_set_rows_matches_full(self, setup):
+        from dust_tpu.ops import gi_cache as gilib
+        settings, scene, sky, bn, cs = setup
+        rng = np.random.default_rng(7)
+        n = gilib.dense_rows(scene)
+        rad = jnp.asarray(rng.uniform(0, 3, (n, 3)), jnp.float32)
+        cntv = jnp.asarray(rng.integers(0, 500, n), jnp.float32)
+        full = gilib.pack_working_set(rad, cntv, scene)
+        alb = full.table[:, 2:3]
+        rows = gilib.pack_working_set_rows(rad, cntv, alb)
+        assert np.array_equal(np.array(rows), np.array(full.table))
