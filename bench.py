@@ -28,7 +28,57 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
+def supervise():
+    """Capture-proof wrapper: run the measurement in a child process with
+    bounded retries + backoff, and ALWAYS print one parseable JSON line.
+
+    Round 3's driver capture was lost to a single transient tunnel outage
+    at backend-init time (BENCH_r03.json rc=1); the reference never loses
+    its demo to a flaky cable, so neither should we. A child-process retry
+    covers every failure point (backend init, device_put, compile, hang)
+    without having to reset in-process JAX backend state.
+    """
+    import subprocess
+
+    attempts = int(os.environ.get("DUST_BENCH_ATTEMPTS", "3"))
+    backoff = float(os.environ.get("DUST_BENCH_BACKOFF", "60"))
+    att_timeout = float(os.environ.get("DUST_BENCH_TIMEOUT", "2400"))
+    argv = [sys.executable, os.path.abspath(__file__)] + sys.argv[1:]
+    last_err = "no attempts ran"
+    for i in range(attempts):
+        if i:
+            time.sleep(backoff)
+        env = dict(os.environ, DUST_BENCH_CHILD="1",
+                   DUST_BENCH_ATTEMPT=str(i))
+        try:
+            p = subprocess.run(argv, env=env, capture_output=True,
+                               text=True, timeout=att_timeout)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i + 1}: timed out after {att_timeout:.0f}s"
+            print(f"# {last_err}", file=sys.stderr)
+            continue
+        sys.stderr.write(p.stderr)
+        line = next((ln for ln in p.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if p.returncode == 0 and line is not None:
+            print(line)
+            return
+        tail = p.stderr.strip().splitlines()[-1] if p.stderr.strip() \
+            else "no output"
+        last_err = f"attempt {i + 1}: rc={p.returncode}: {tail}"
+        print(f"# retrying: {last_err}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "Mrays/s/chip (castle+teapot 1080p, 1-bounce GI)",
+        "value": None, "unit": "Mrays/s", "vs_baseline": None,
+        "error": last_err,
+    }))
+
+
 def main():
+    # Test hook: simulate N failing attempts to exercise the retry path.
+    fail_n = int(os.environ.get("DUST_BENCH_FAIL_ATTEMPTS", "0"))
+    if int(os.environ.get("DUST_BENCH_ATTEMPT", "0")) < fail_n:
+        raise RuntimeError("simulated backend-init failure (test hook)")
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny smoke run")
     ap.add_argument("--width", type=int, default=None)
@@ -255,4 +305,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DUST_BENCH_CHILD"):
+        main()
+    else:
+        supervise()

@@ -36,6 +36,30 @@ class TestCheckpoint:
             np.array(loaded.gi.table), np.array(state.gi.table)
         )
 
+    def test_treedef_mismatch_rejected(self, tmp_path):
+        import pytest
+        path = str(tmp_path / "t.npz")
+        save_state(path, {"a": jnp.zeros(4), "b": jnp.ones(4)})
+        with pytest.raises(ValueError, match="structure"):
+            load_state(path, {"a": jnp.zeros(4), "c": jnp.ones(4)})
+
+    def test_dtype_mismatch_rejected(self, tmp_path):
+        import pytest
+        path = str(tmp_path / "d.npz")
+        save_state(path, {"a": jnp.zeros(4, jnp.float32)})
+        with pytest.raises(ValueError, match="dtype"):
+            load_state(path, {"a": jnp.zeros(4, jnp.int32)})
+
+    def test_version_mismatch_rejected(self, tmp_path):
+        import pytest
+        from dust_tpu.utils import checkpoint as ckpt
+        path = str(tmp_path / "v.npz")
+        np.savez(path, leaf_0=np.zeros(4, np.float32),
+                 __version__=np.asarray([999], np.int32))
+        with pytest.raises(ValueError, match="version"):
+            load_state(path, {"a": jnp.zeros(4, jnp.float32)})
+        assert ckpt.FORMAT_VERSION == 1
+
     def test_shape_mismatch_rejected(self, tmp_path):
         s1 = make_frame_state(RenderSettings(width=8, height=8,
             spatial_hash=SpatialHashSettings(capacity=64),
@@ -81,6 +105,27 @@ class TestImageIO:
         p = str(tmp_path / "y.png")
         write_png(p, img)
         assert (read_png(p)[0, 0] == [0, 255, 0]).all()
+
+
+class TestBenchSupervisor:
+    def test_error_json_after_exhausted_retries(self):
+        """bench.py must print ONE parseable JSON line (rc=0, with an
+        ``error`` field) even when every attempt dies at backend init —
+        round 3 lost its driver capture to exactly this (BENCH_r03.json
+        rc=1)."""
+        import subprocess, sys
+        env = dict(os.environ, DUST_BENCH_FAIL_ATTEMPTS="99",
+                   DUST_BENCH_BACKOFF="0.1", DUST_BENCH_ATTEMPTS="2")
+        p = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "..", "bench.py"), "--small"],
+            env=env, capture_output=True, text=True, timeout=120)
+        assert p.returncode == 0
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        assert len(line) == 1
+        parsed = json.loads(line[0])
+        assert "error" in parsed and parsed["value"] is None
+        assert "simulated backend-init failure" in parsed["error"]
 
 
 class TestCheckpointMidFlythrough:
