@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", choices=["pallas", "jnp"], default=None)
     ap.add_argument("--gi-cache", choices=["dense", "hash"], default="dense")
+    ap.add_argument("--fg-sort", action="store_true",
+                    help="octant-group the cosine STBN per kernel tile "
+                    "(FG ray-coherence experiment; see "
+                    "RenderSettings.fg_octant_sort)")
     ap.add_argument("--fuse-gi", action="store_true",
                     help="fused AO+FG walk (measured 2.5 ms slower than "
                     "split at 1080p; kept for tuning)")
@@ -104,18 +108,20 @@ def main():
     ap.add_argument(
         "--config", default=None,
         choices=["gi", "primary-shadow", "gi-4k", "hash-reference",
-                 "stress"],
+                 "stress", "flythrough"],
         help="BASELINE.md workload presets: gi = the headline "
         "castle+teapot 1080p 1-bounce-GI run (default); primary-shadow "
         "= direct lighting only; gi-4k = 3840x2160; hash-reference = "
         "the reference's own GI-cache scale (32Mi-entry hash, 720x480 "
         "pool); stress = 3x3 castle grid + 2 teapots (11 instances, "
-        "~6.5M instanced voxels)")
+        "~6.5M instanced voxels); flythrough = gi-4k + the orbit camera "
+        "path from app/castle.py (BASELINE config #5: moving camera, "
+        "per-frame view updates)")
     ap.add_argument("--no-teapot", action="store_true",
                     help="drop the animated teapot (castle only — the "
                     "round-1/2 workload, for A/B against old numbers)")
     args = ap.parse_args()
-    if args.config == "gi-4k":
+    if args.config in ("gi-4k", "flythrough"):
         args.width, args.height = args.width or 3840, args.height or 2160
     elif args.config == "hash-reference":
         args.gi_cache = "hash"
@@ -165,6 +171,7 @@ def main():
         traversal_backend=args.backend or ("pallas" if not args.cpu else "jnp"),
         gi_cache=args.gi_cache,
         fuse_ao_fg=args.fuse_gi,
+        fg_octant_sort=args.fg_sort,
         contribution_secondary_spatial_hash=not direct_only,
         contribution_secondary_skylight=not direct_only,
         contribution_secondary_sunlight=not direct_only,
@@ -182,14 +189,31 @@ def main():
     sky = bake_sky(settings.sunlight)
     bn = load_blue_noise()
     base_o2w = np.array(scene.obj_to_world)
+    bn_cos = bn.unitvec3_cosine_octsorted if args.fg_sort else \
+        bn.unitvec3_cosine
     # The reference's canonical camera pose (examples/castle.rs:126-128).
     eye = (260.0, 420.0, 180.0) if args.config == "stress" else \
         (122.0, 300.61, 54.45)
-    c2w = cameralib.look_at(eye, (0.0, 0.0, 0.0))
-    cs = cameralib.camera_settings(
-        c2w, settings.camera.fov, settings.camera.near,
-        settings.camera.far, width, height,
-    )
+    target = (0.0, 0.0, 0.0)
+
+    def cam_for(f):
+        """Per-frame camera: fixed pose, or the orbit path from
+        app/castle.py (flythrough — BASELINE config #5). Camera settings
+        are traced arrays, so a moving camera costs zero recompiles."""
+        e = eye
+        if args.config == "flythrough":
+            import math
+            ang = f * 0.05
+            r = math.dist((eye[0], eye[2]), (target[0], target[2]))
+            e = (target[0] + r * math.sin(ang), eye[1],
+                 target[2] + r * math.cos(ang))
+        c2w = cameralib.look_at(e, target)
+        return cameralib.camera_settings(
+            c2w, settings.camera.fov, settings.camera.near,
+            settings.camera.far, width, height,
+        )
+
+    cs = cam_for(0)
 
     import jax.numpy as jnp
 
@@ -199,7 +223,8 @@ def main():
             o2w = procgen.teapot_motion(base_o2w, anim_idx, f)
             sc = scene.with_transforms(jnp.asarray(o2w))
         out, _aux, state = render_frame(
-            sc, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+            sc, state, cam_for(f) if args.config == "flythrough" else cs,
+            sky, bn_cos, bn.scalar,
             settings, tile=args.tile, return_aux=False,
         )
         return out, state
@@ -230,7 +255,9 @@ def main():
                 o2w = procgen.teapot_motion(base_o2w, anim_idx, f)
                 sc = scene.with_transforms(jnp.asarray(o2w))
             out, _aux, state = render_frame(
-                sc, state, cs, sky, bn.unitvec3_cosine, bn.scalar,
+                sc, state,
+                cam_for(f) if args.config == "flythrough" else cs,
+                sky, bn_cos, bn.scalar,
                 _settings, tile=args.tile, return_aux=False,
             )
             return out, state
@@ -286,7 +313,8 @@ def main():
     mrays = rays / dt / 1e6
     kind = "primary+shadow" if args.config == "primary-shadow" else \
         ("1-bounce GI, 32Mi hash" if args.config == "hash-reference"
-         else "1-bounce GI")
+         else "1-bounce GI, orbit flythrough"
+         if args.config == "flythrough" else "1-bounce GI")
     workload = ("3x3 castle grid + 2 teapots" if args.config == "stress"
                 else "castle" if args.no_teapot else "castle+teapot")
     result = {

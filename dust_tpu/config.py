@@ -238,6 +238,15 @@ class RenderSettings:
     # render/materials.py for the registry + dispatch.
     instance_materials: tuple = ()
 
+    # FG/AO ray-coherence experiment: expect the cosine blue-noise table
+    # to be octant-grouped per 8x128 tile region
+    # (noise.octant_sort_regions / BlueNoise.unitvec3_cosine_octsorted —
+    # callers must pass that table) and quantise the per-frame noise
+    # roll so regions stay tile-aligned. Groups each lockstep kernel
+    # tile's GI directions into octant runs at zero runtime cost, at the
+    # price of per-pixel temporal STBN blueness (shuffled-blue).
+    fg_octant_sort: bool = False
+
     # GI cache backend: "hash" = the reference's open-addressed spatial
     # hash + stochastic surfel pool (unbounded scenes); "dense" = one row
     # per (instance, leaf_row, face) cell, scatter-free inserts, every

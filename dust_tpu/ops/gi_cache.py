@@ -53,6 +53,20 @@ __all__ = [
 
 MAX_SAMPLE_COUNT = 404  # spatial_hash.glsl:179
 
+# Cache rows are padded to a multiple of this so the table's leading axis
+# divides evenly over any power-of-two device mesh (and over the Pallas
+# 8x128 ray blocks): the multi-chip path shards the table BY ROW RANGE —
+# each device updates its 1/N of the rows elementwise (zero-collective
+# insert) and readers pay one small all-gather instead of the old
+# full-table all-reduce merge (ARCHITECTURE.md v5e-8 Amdahl analysis).
+# lcm(6, 1024): also divisible by the 6-faces-per-cell expansion, so the
+# padded table length maps back to a whole number of padded cells.
+ROW_PAD = 3072
+
+
+def padded_rows(n: int) -> int:
+    return -(-n // ROW_PAD) * ROW_PAD
+
 
 def _f16_bits(x):
     return jax.lax.bitcast_convert_type(
@@ -82,17 +96,23 @@ class DenseGICache(NamedTuple):
 
 
 def dense_rows(scene) -> int:
-    """Static cache row count for a DeviceScene."""
+    """Static cache row count (= table length, ROW_PAD-padded) for a
+    DeviceScene. The padding tail holds zero rows that no dense_index
+    ever produces (inst < I, row < lmax, face < 6 by construction)."""
     lmax = scene.mask_lo.shape[1]
-    return scene.num_instances * lmax * 6
+    return padded_rows(scene.num_instances * lmax * 6)
 
 
 def _albedo_words(scene) -> jnp.ndarray:
     """Per-(instance, leaf, face) albedo word — 6 faces share the leaf's
-    average albedo (R10G10B10A2)."""
+    average albedo (R10G10B10A2). ROW_PAD-padded with zeros."""
     inst_model = jnp.asarray(scene.inst_model, jnp.int32)
     alb = scene.avg_albedo[inst_model].reshape(-1)       # (I*lmax,) u32
-    return jnp.repeat(alb, 6).astype(jnp.uint32)
+    alb6 = jnp.repeat(alb, 6).astype(jnp.uint32)
+    pad = padded_rows(alb6.shape[0]) - alb6.shape[0]
+    if pad:
+        alb6 = jnp.concatenate([alb6, jnp.zeros(pad, jnp.uint32)])
+    return alb6
 
 
 def make_dense_gi_cache(scene) -> DenseGICache:
@@ -203,9 +223,7 @@ def refresh_dense_albedo(cache: DenseGICache, scene) -> DenseGICache:
     transiently stale — the running mean re-converges within frames
     (the reference's spatial hash goes stale on edits the same way,
     spatial_hash.glsl's LRU just evicts old cells eventually)."""
-    inst_model = jnp.asarray(scene.inst_model, jnp.int32)
-    alb = scene.avg_albedo[inst_model].reshape(-1)
-    alb6 = jnp.repeat(alb, 6).astype(jnp.uint32)
+    alb6 = _albedo_words(scene)
     old = cache.table.astype(jnp.uint32)
     table = jax.lax.bitcast_convert_type(
         jnp.stack([old[:, 0], old[:, 1], alb6], axis=-1), jnp.int32)

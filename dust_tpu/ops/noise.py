@@ -46,6 +46,15 @@ class BlueNoise:
         self.unitvec3 = unitvec3                # (...,3) encoded *0.5+0.5
         self.unitvec3_cosine = unitvec3_cosine  # (...,3) encoded *0.5+0.5
 
+    @property
+    def unitvec3_cosine_octsorted(self) -> jnp.ndarray:
+        """Octant-grouped view of the cosine table for the FG-coherence
+        experiment (see :func:`octant_sort_regions`); pair with
+        ``RenderSettings.fg_octant_sort=True``. Cached after first use."""
+        if getattr(self, "_cos_sorted", None) is None:
+            self._cos_sorted = octant_sort_regions(self.unitvec3_cosine)
+        return self._cos_sorted
+
     def sample(self, table: jnp.ndarray, pix_xy: jnp.ndarray, frame_index,
                offset=(0, 0), rand=0) -> jnp.ndarray:
         """texelFetch(blue_noise[v], (pix + offset + rand) % 128, layer).
@@ -56,6 +65,40 @@ class BlueNoise:
         x = (pix_xy[..., 0] + offset[0] + rand) % SIZE
         y = (pix_xy[..., 1] + offset[1] + rand) % SIZE
         return table[layer, y, x]
+
+
+def octant_sort_regions(table, rows: int = 8, cols: int = 128):
+    """Statically reorder each (rows × cols) region of every layer of an
+    encoded unit-vector table so texels are grouped by direction octant
+    (lexsorted by (sign x, sign y, z)).
+
+    The GI/AO cosine directions are deliberately decorrelated between
+    adjacent pixels by STBN — the worst case for the Pallas kernel's
+    lockstep (8,128) ray tiles, whose walk runs to the slowest ray
+    (ARCHITECTURE roadmap item 2). Regions are chosen to coincide with
+    the kernel's 8×128-pixel tiles (bn_fetch quantises its y-roll to
+    multiples of ``rows`` when this table is in use), so each tile's rays
+    share a direction octant run. Zero runtime cost — the transform is
+    host-side, once.
+
+    Trade-off: the per-PIXEL temporal sequence is no longer STBN (each
+    frame a pixel reads a different texel of its region), i.e. temporal
+    blueness degrades to shuffled-blue; spatial distribution per frame
+    and the per-region value multiset are unchanged. Gated by the
+    converged-GT RMSE tests like every other estimator knob."""
+    t = np.asarray(table)
+    L, H, W, C = t.shape
+    out = t.copy()
+    for li in range(L):
+        for y0 in range(0, H, rows):
+            for x0 in range(0, W, cols):
+                reg = out[li, y0:y0 + rows, x0:x0 + cols].reshape(-1, C)
+                v = reg * 2.0 - 1.0
+                key = (v[:, 0] >= 0) * 2 + (v[:, 1] >= 0)
+                order = np.lexsort((v[:, 2], key))
+                out[li, y0:y0 + rows, x0:x0 + cols] = (
+                    reg[order].reshape(rows, cols, C))
+    return jnp.asarray(out)
 
 
 def _rank_unit() -> np.ndarray:

@@ -35,19 +35,29 @@ def replicate_scene(scene, mesh: Mesh):
 
 
 def shard_frame_state(state, mesh: Mesh):
-    """Place frame state for the multi-chip step: GI caches + history
-    replicated (updates are applied identically on every device by the
-    partitioner), per-pixel denoiser history sharded by image rows."""
+    """Place frame state for the multi-chip step: per-pixel denoiser
+    history sharded by image rows; the DENSE GI cache sharded by row
+    range (its rows are ROW_PAD-aligned with the surfel cell list, so
+    each device refreshes its own slice with zero insert collectives —
+    readers pay one small table all-gather); everything else (spatial
+    hash, scalars) replicated — hash updates are applied identically on
+    every device by the partitioner."""
+    from dust_tpu.ops.gi_cache import DenseGICache
+
     rep = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P(RAY_AXIS))
 
     def place(path, x):
         if not hasattr(x, "shape"):
             return x
-        # Denoiser per-pixel history: shard over image rows (leading dim).
         names = [getattr(p, "name", "") for p in path]
+        # Denoiser per-pixel history: shard over image rows (leading dim).
         if "denoiser" in names and x.ndim >= 2:
             return jax.device_put(x, rows)
         return jax.device_put(x, rep)
 
-    return jax.tree_util.tree_map_with_path(place, state)
+    state = jax.tree_util.tree_map_with_path(place, state)
+    if isinstance(getattr(state, "gi", None), DenseGICache):
+        state = state._replace(
+            gi=DenseGICache(table=jax.device_put(state.gi.table, rows)))
+    return state

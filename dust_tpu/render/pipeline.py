@@ -146,7 +146,9 @@ def _pool_enqueue_mod(dest, mask, values):
 def _cell_enumeration(scene):
     """World-space leaf centers + validity for every (instance, leaf)
     row — the (instance, leaf_row, face) cell basis BOTH GI caches key
-    by (leaf centers transform per instance; tiny static loop)."""
+    by (leaf centers transform per instance; tiny static loop). Padded
+    to the dense cache's ROW_PAD/6 so the ×6-face expansion lines up
+    row-for-row with the (sharded) cache table."""
     centers, vleafs = [], []
     for i, m in enumerate(scene.inst_model):
         co = scene.leaf_origin[m].astype(jnp.float32) + 2.0  # (L,3)
@@ -155,7 +157,14 @@ def _cell_enumeration(scene):
                         precision="highest") + o2w[:, 3]
         centers.append(cw)
         vleafs.append((scene.mask_lo[m] | scene.mask_hi[m]) != 0)
-    return jnp.concatenate(centers), jnp.concatenate(vleafs)
+    centers = jnp.concatenate(centers)
+    vleafs = jnp.concatenate(vleafs)
+    pad = gilib.padded_rows(centers.shape[0] * 6) // 6 - centers.shape[0]
+    if pad:
+        centers = jnp.concatenate(
+            [centers, jnp.zeros((pad, 3), centers.dtype)])
+        vleafs = jnp.concatenate([vleafs, jnp.zeros(pad, bool)])
+    return centers, vleafs
 
 
 def _pcg_scalar(v):
@@ -264,17 +273,22 @@ def render_frame(
     origins = jnp.broadcast_to(cam.position, (n, 3))
     layer = frame_index % bn_cosine.shape[0]
 
-    def bn_fetch(table, offset):
+    def bn_fetch(table, offset, quant_rows=1):
         """Noise value per pixel: ``table[layer, (py+oy+rand)%S, (px+ox+
         rand)%S]``. The pattern is the layer tiled periodically with a
         shift, so instead of a 2M-element gather (+ a whole-table VMEM
         prefetch, ~30 ms/frame measured) it is a dynamic-slice + roll +
-        tile — pure data movement."""
+        tile — pure data movement. ``quant_rows``: quantise the y-roll
+        so octant-sorted 8-row regions stay aligned with the kernel's
+        pixel tiles (fg_octant_sort)."""
         th, tw = table.shape[1], table.shape[2]
         page = jax.lax.dynamic_index_in_dim(table, layer, axis=0,
                                             keepdims=False)
-        page = jnp.roll(page, shift=(-(offset[1] + rand) % th,
-                                     -(offset[0] + rand) % tw), axis=(0, 1))
+        sy = (offset[1] + rand) % th
+        if quant_rows > 1:
+            sy = (sy // quant_rows) * quant_rows
+        page = jnp.roll(page, shift=(-sy, -(offset[0] + rand) % tw),
+                        axis=(0, 1))
         reps_y, reps_x = -(-H // th), -(-W // tw)
         img = jnp.tile(page, (reps_y, reps_x, 1))[:H, :W]
         return to_tiles(img)
@@ -349,7 +363,9 @@ def render_frame(
     # Cosine GI direction, shared by AO and final gather (both passes fetch
     # blue_noise[5] with offset (7,183): ambient_occlusion.rgen:27,
     # final_gather.rgen:31).
-    cos_sample = bn_fetch(bn_cosine, (7, 183)) * 2.0 - 1.0
+    cos_sample = bn_fetch(
+        bn_cosine, (7, 183),
+        quant_rows=8 if settings.fg_octant_sort else 1) * 2.0 - 1.0
     gi_dir = pk.rotate_vector_by_normal(normal, cos_sample)
     gi_dir = jnp.where(hit[:, None], gi_dir, jnp.asarray([0.0, 1.0, 0.0]))
 
@@ -405,6 +421,18 @@ def render_frame(
     if gi_enabled:
         if dense:
             gi_reads = state.gi
+            if ray_sharding is not None:
+                # Multi-chip: the table lives row-sharded (insert is
+                # shard-local, see shard_frame_state), but ray-side GETs
+                # index it randomly — without a constraint GSPMD lowers
+                # each gather as partial-gathers + an all-reduce over the
+                # (2M, 3) OUTPUT (~25 MB/frame at 1080p). Replicating the
+                # read view instead costs one table all-gather (~MBs).
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(ray_sharding.mesh, PartitionSpec())
+                gi_reads = gilib.DenseGICache(
+                    table=jax.lax.with_sharding_constraint(
+                        state.gi.table, rep))
         else:
             # Per-frame WORKING SET of the hash (TPU-first): ONE
             # hash_get per (instance, leaf, face) cell of the loaded
@@ -496,7 +524,7 @@ def render_frame(
                                              settings.spatial_hash.cell_size)
             if dense:
                 _, dbg_rad, _, _dbg_alb = gilib.dense_get(
-                    state.gi,
+                    gi_reads,
                     gilib.dense_index(lmax, primary.inst, primary.row,
                                       dbg_leaf["face"]), hit)
             else:
@@ -544,6 +572,14 @@ def render_frame(
                     s_valid, (slice_start,), (budget,))
             else:
                 slice_start = None
+                # Multi-chip: the cell list is row-aligned with the
+                # (row-sharded) cache table, so pinning the surfel rays
+                # to the same shards makes the whole refresh — trace,
+                # shade, running-mean insert — collective-free (each
+                # device owns 1/N of the rows end to end).
+                surfel_pos = shard(surfel_pos)
+                surfel_dir = shard(surfel_dir)
+                s_valid = shard(s_valid)
             p = surfel_pos.shape[0]
             s_normal = pk.face_id_to_normal(surfel_dir)
         else:
@@ -571,7 +607,7 @@ def render_frame(
             s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
         s_origin = surfel_pos + 2.01 * s_normal
 
-        def bn_fetch_pool(table, offset):
+        def bn_fetch_pool(table, offset, quant_rows=1):
             """Noise per pool slot (slot i <-> texel (i%W, i//W % H), the
             surfel.rgen flat-launch mapping): like bn_fetch, the pattern
             is the rolled layer tiled periodically — roll + tile + slice
@@ -579,13 +615,17 @@ def render_frame(
             th, tw = table.shape[1], table.shape[2]
             page = jax.lax.dynamic_index_in_dim(table, layer, axis=0,
                                                 keepdims=False)
-            page = jnp.roll(page, shift=(-(offset[1] + rand) % th,
-                                         -(offset[0] + rand) % tw),
+            sy = (offset[1] + rand) % th
+            if quant_rows > 1:
+                sy = (sy // quant_rows) * quant_rows
+            page = jnp.roll(page, shift=(-sy, -(offset[0] + rand) % tw),
                             axis=(0, 1))
             reps = -(-p // (th * tw))
             return jnp.tile(page.reshape(th * tw, -1), (reps, 1))[:p]
 
-        s_cos = bn_fetch_pool(bn_cosine, (16, 47)) * 2.0 - 1.0
+        s_cos = bn_fetch_pool(
+            bn_cosine, (16, 47),
+            quant_rows=8 if settings.fg_octant_sort else 1) * 2.0 - 1.0
         s_dir = pk.rotate_vector_by_normal(s_normal, s_cos)
 
         s_payload = jnp.zeros((p, 3))

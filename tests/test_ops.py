@@ -163,6 +163,28 @@ class TestNoise:
         # Cosine weighting: mean z = 2/3.
         assert abs(v[:, 2].mean() - 2.0 / 3.0) < 0.02
 
+    def test_octant_sort_regions(self):
+        """fg_octant_sort's static table transform: every 8x128 region of
+        every layer keeps its exact texel multiset (the sampler stays a
+        cosine-hemisphere estimator) and becomes octant-grouped (runs of
+        equal (sign x, sign y) keys)."""
+        from dust_tpu.ops.noise import octant_sort_regions
+        bn = load_blue_noise()
+        srt = np.array(octant_sort_regions(bn.unitvec3_cosine))
+        orig = np.array(bn.unitvec3_cosine)
+        for li in (0, 31):
+            for y0 in (0, 64):
+                a = orig[li, y0:y0 + 8].reshape(-1, 3)
+                b = srt[li, y0:y0 + 8].reshape(-1, 3)
+                # Same multiset of texels.
+                np.testing.assert_array_equal(
+                    np.sort(a.view([("", a.dtype)] * 3), axis=0),
+                    np.sort(b.view([("", b.dtype)] * 3), axis=0))
+                # Grouped: the 2-bit (sign x, sign y) key is sorted.
+                v = b * 2.0 - 1.0
+                key = (v[:, 0] >= 0) * 2 + (v[:, 1] >= 0)
+                assert (np.diff(key) >= 0).all()
+
     def test_sample_indexing(self):
         bn = load_blue_noise()
         pix = jnp.asarray([[0, 0], [127, 127], [5, 9]], jnp.int32)

@@ -30,6 +30,10 @@ from dust_tpu.vox import procgen
 from dust_tpu.vox.loader import load_vox_scene
 from tests.quality_setup import gt_camera, gt_settings
 
+# Multi-frame converged-GT renders: minutes each on CPU — deselect with
+# -m "not slow" for the quick iteration loop (run before big commits).
+pytestmark = pytest.mark.slow
+
 GT_PATH = os.path.join(os.path.dirname(__file__), "golden",
                        "castle_gt_256x256.npz")
 
@@ -184,3 +188,61 @@ def test_dense_vs_hash_gi_bias(rig, gt, dense_out):
     rh = _rmse(hash_out, gt["output"])
     assert rd < RMSE_DENSE, f"dense RMSE {rd:.4f}"
     assert rh < RMSE_HASH, f"hash RMSE {rh:.4f}"
+
+
+# Staleness-budget gates (VERDICT r3 item 6): the perf knobs that slice
+# the GI refresh work per frame (SpatialHashSettings.ws_refresh_slices,
+# SurfelSettings.pool_refresh_budget / dense_refresh_budget) trade
+# staleness for throughput; these tests pin the QUALITY cost of the
+# bench-scale budgets against the converged GT so a knob that silently
+# degrades the image fails. Bounds = ~1.5x the values measured when
+# recorded (2026-08-18, 32-frame converged means @256x256):
+# budgeted-hash-vs-GT 0.0382 (unbudgeted 0.0381), budgeted-dense-vs-GT
+# 0.0382 (unbudgeted 0.0381) — the budgets' staleness cost ~1e-4 RMSE.
+RMSE_BUDGETED_HASH = 0.057
+RMSE_BUDGETED_DENSE = 0.057
+BUDGET_EXTRA = 0.004  # extra converged-mean RMSE a budget may cost
+
+
+def test_budgeted_hash_quality(rig, gt):
+    """Hash GI with the bench-style budgets (rotating working-set probe
+    slices + a pool refresh budget) must stay within bounds of the
+    converged GT, and within BUDGET_EXTRA of the unbudgeted hash path."""
+    from dust_tpu.config import SpatialHashSettings, SurfelSettings
+    W, H, scene, sky, bn = rig
+    base = gt_settings(W, H)
+    _, mean_free = _render(rig, gt, frames=CONV_FRAMES, avg_last=CONV_AVG,
+                           gi_cache="hash")
+    _, mean_bud = _render(
+        rig, gt, frames=CONV_FRAMES, avg_last=CONV_AVG, gi_cache="hash",
+        spatial_hash=SpatialHashSettings(
+            capacity=base.spatial_hash.capacity, ws_refresh_slices=4),
+        surfels=SurfelSettings(
+            pool_size=base.surfels.pool_size,
+            pool_refresh_budget=base.surfels.pool_size // 4))
+    r_bud = _rmse(mean_bud, gt["output"])
+    r_free = _rmse(mean_free, gt["output"])
+    assert r_bud < RMSE_BUDGETED_HASH, f"budgeted hash RMSE {r_bud:.4f}"
+    assert r_bud - r_free < BUDGET_EXTRA, (
+        f"budgets cost {r_bud - r_free:.4f} extra RMSE "
+        f"(budgeted {r_bud:.4f} vs free {r_free:.4f})")
+
+
+def test_budgeted_dense_quality(rig, gt, dense_run):
+    """Dense GI with a refresh budget forcing a 3-way rotating slice must
+    stay within bounds of the GT and of the every-cell-every-frame path."""
+    from dust_tpu.config import SurfelSettings
+    from dust_tpu.ops.gi_cache import dense_rows
+    W, H, scene, sky, bn = rig
+    base = gt_settings(W, H)
+    budget = dense_rows(scene) // 3
+    _, mean_bud = _render(
+        rig, gt, frames=CONV_FRAMES, avg_last=CONV_AVG,
+        surfels=SurfelSettings(pool_size=base.surfels.pool_size,
+                               dense_refresh_budget=budget))
+    r_bud = _rmse(mean_bud, gt["output"])
+    r_free = _rmse(dense_run[1], gt["output"])
+    assert r_bud < RMSE_BUDGETED_DENSE, f"budgeted dense RMSE {r_bud:.4f}"
+    assert r_bud - r_free < BUDGET_EXTRA, (
+        f"dense budget costs {r_bud - r_free:.4f} extra RMSE "
+        f"(budgeted {r_bud:.4f} vs free {r_free:.4f})")
