@@ -871,14 +871,13 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         rstate = jax.lax.while_loop(round_cond, round_body, rstate)
         hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
 
-    # Straggler hand-off (two-phase tracing): rays still active when
-    # the round budget ran out resume a later pass from their current
-    # march position (s_resume = rstate[1], active = rstate[0]).
+    # s/active of rays still live at round exhaustion ride along for
+    # callers that care (the batched scene kernel ignores them).
     return hit_s, hit_row, hit_bit, rstate[1], rstate[0]
 
 
 def _make_kernel(mask_chunks: int, mode: str, rounds: int,
-                 march_cap: int, micro_cap: int, want_resume: bool = False):
+                 march_cap: int, micro_cap: int):
     """Single-instance kernel: refs in/out around :func:`_traverse_core`."""
     fused = mode == "ao_fg"
 
@@ -889,9 +888,6 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
          smin_ref) = refs[:14]
         if fused:
             sao_ref, smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
-        elif want_resume:
-            (smax_ref, hit_ref, row_ref, bit_ref,
-             sres_ref, act_ref) = refs[14:]
         else:
             smax_ref, hit_ref, row_ref, bit_ref = refs[14:]
         out = _traverse_core(
@@ -906,13 +902,7 @@ def _make_kernel(mask_chunks: int, mode: str, rounds: int,
         if fused:
             hit_ref[:], row_ref[:], bit_ref[:] = out  # ao_t, fg_t, fg_row
             return
-        hit_s, hit_row, hit_bit, s_res, act = out
-        hit_ref[:] = hit_s
-        row_ref[:] = hit_row
-        bit_ref[:] = hit_bit
-        if want_resume:
-            sres_ref[:] = s_res
-            act_ref[:] = act
+        hit_ref[:], row_ref[:], bit_ref[:] = out[:3]
 
     return kernel
 
@@ -1142,36 +1132,29 @@ def _trace_pallas_scene(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
 
 
 @partial(jax.jit, static_argnames=("mask_chunks", "mode", "rounds",
-                                   "march_cap", "resume", "interpret"))
+                                   "march_cap", "interpret"))
 def _trace_pallas(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi,
                   ox, oy, oz, dx, dy, dz,
                   smin, smax, mask_chunks, mode, rounds,
-                  march_cap=160, resume=False, interpret=False):
+                  march_cap=160, interpret=False):
     n_rows = ox.shape[0]
     grid = n_rows // ROWS
     kernel = _make_kernel(mask_chunks, mode, rounds,
-                          march_cap=march_cap, micro_cap=12,
-                          want_resume=resume)
+                          march_cap=march_cap, micro_cap=12)
 
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
-    n_out = 5 if resume else 3
     out_shapes = [
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
     ]
-    if resume:
-        out_shapes += [
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # s resume
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),    # active
-        ]
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[tab_spec] * 7 + [ray_spec] * 8,
-        out_specs=[ray_spec] * n_out,
+        out_specs=[ray_spec] * 3,
         out_shape=out_shapes,
         interpret=interpret,
     )(l1, l2w0, l2w1, l2r0, l2r1, mlo, mhi, ox, oy, oz, dx, dy, dz, smin, smax)
@@ -1212,135 +1195,6 @@ def trace_instance_pallas(tables, origin, direction, t_min, t_max,
         mask_chunks=tables.mask_chunks, mode=mode, rounds=rounds,
         interpret=interpret,
     )
-    hit_s = hit_s.reshape(-1)[:n]
-    return hit_s / dlen, row.reshape(-1)[:n], bit.reshape(-1)[:n]
-
-
-def trace_instance_pallas_2p(tables, origin, direction, t_min, t_max,
-                             mode: str = "precise", rounds: int = 64,
-                             interpret: bool = False,
-                             phase1_rounds: int = 3,
-                             phase1_march: int = 48,
-                             k_div: int = 8):
-    """Two-phase straggler-decoupled trace (same contract as
-    :func:`trace_instance_pallas`; identical results at saturating
-    budgets — phase 2 reuses the resume position as its ``s_min``, so in
-    rough mode a ray resumed exactly at a candidate block's entry plane
-    can diverge from the single-phase trace by an fp epsilon when the
-    phase-1 budget starves it mid-block).
-
-    The kernel's grid is serial on the one TensorCore and every program
-    runs to its slowest ray, so the per-tile lockstep max (3-5x the
-    per-ray mean on the castle camera) is pure waste. Phase 1 runs a
-    small round/march budget; the <1% of rays still active are packed
-    into an ``n/k_div``-ray pass that resumes from their current march
-    position. Packing is scatter-free (TPU scatters run ~10M rows/s):
-    rays fold onto ``K = n/k_div`` slots by residue, a first-true argmax
-    picks each slot's winner, select chains compact and re-expand, and a
-    cond-gated full-width safety pass catches residue collisions (rare:
-    expected collisions ~ m²/2K ≈ hundreds for m=16k stragglers).
-    """
-    n = origin.shape[0]
-    dlen = jnp.maximum(jnp.linalg.norm(direction, axis=-1), 1e-20)
-    dn = direction / dlen[:, None]
-
-    block = ROWS * LANES
-    pad = (-n) % block
-
-    def prep(x, fill=0.0):
-        x = jnp.asarray(x, jnp.float32)
-        if pad:
-            x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
-        return x.reshape(-1, LANES)
-
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-
-    ox, oy, oz = (prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]))
-    dx, dy, dz = (prep(dn[:, 0], 1.0), prep(dn[:, 1], 1.0),
-                  prep(dn[:, 2], 1.0))
-    smin = prep(t_min * dlen)
-    smax = prep(t_max * dlen, -1.0)
-
-    hit_s, row, bit, sres, act = _trace_pallas(
-        tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0, tables.l2_r1,
-        tables.mask_lo, tables.mask_hi,
-        ox, oy, oz, dx, dy, dz, smin, smax,
-        mask_chunks=tables.mask_chunks, mode=mode, rounds=phase1_rounds,
-        march_cap=phase1_march, resume=True, interpret=interpret,
-    )
-
-    np_ = hit_s.size  # padded ray count (multiple of block)
-    K = max(block, (np_ // k_div) // block * block)
-    R = -(-np_ // K)
-    pad2 = R * K - np_
-
-    def fold(x, fill):
-        f = x.reshape(-1)
-        if pad2:
-            f = jnp.concatenate([f, jnp.full((pad2,), fill, f.dtype)])
-        return f.reshape(R, K)
-
-    mask = fold(act, 0) != 0
-    winner = jnp.argmax(mask, axis=0)          # first unresolved row/slot
-    got = jnp.any(mask, axis=0)
-
-    def pick(x2d):
-        p = x2d[0]
-        for r in range(1, R):
-            p = jnp.where(winner == r, x2d[r], p)
-        return p
-
-    cox, coy, coz = fold(ox, 0.0), fold(oy, 0.0), fold(oz, 0.0)
-    cdx, cdy, cdz = fold(dx, 1.0), fold(dy, 1.0), fold(dz, 1.0)
-    csres, csmax = fold(sres, 0.0), fold(smax, -1.0)
-    args2 = [pick(a).reshape(-1, LANES)
-             for a in (cox, coy, coz, cdx, cdy, cdz, csres)]
-    smax2 = jnp.where(got, pick(csmax), -1.0).reshape(-1, LANES)
-
-    t2, row2, bit2 = _trace_pallas(
-        tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0, tables.l2_r1,
-        tables.mask_lo, tables.mask_hi,
-        *args2, smax2,
-        mask_chunks=tables.mask_chunks, mode=mode, rounds=rounds,
-        interpret=interpret,
-    )
-
-    # Merge phase-2 slots back (elementwise: slot j belongs to folded row
-    # winner_j — no scatter).
-    hs, rw, bt = fold(hit_s, jnp.inf), fold(row, -1), fold(bit, -1)
-    t2f, row2f, bit2f = t2.reshape(-1), row2.reshape(-1), bit2.reshape(-1)
-    rows_out, rrows, brows = [], [], []
-    for r in range(R):
-        sel = (winner == r) & got
-        rows_out.append(jnp.where(sel, t2f, hs[r]))
-        rrows.append(jnp.where(sel, row2f, rw[r]))
-        brows.append(jnp.where(sel, bit2f, bt[r]))
-    hit_s = jnp.stack(rows_out).reshape(-1)[:np_].reshape(-1, LANES)
-    row = jnp.stack(rrows).reshape(-1)[:np_].reshape(-1, LANES)
-    bit = jnp.stack(brows).reshape(-1)[:np_].reshape(-1, LANES)
-
-    # Residue collisions: unresolved rays whose slot another ray won.
-    leftover = mask & (winner[None, :] != jnp.arange(R)[:, None])
-    leftover = leftover.reshape(-1)[:np_].reshape(-1, LANES)
-
-    def safety(args):
-        hit_s, row, bit = args
-        smax3 = jnp.where(leftover, smax, -1.0)
-        t3, row3, bit3 = _trace_pallas(
-            tables.l1, tables.l2_w0, tables.l2_w1, tables.l2_r0,
-            tables.l2_r1, tables.mask_lo, tables.mask_hi,
-            ox, oy, oz, dx, dy, dz, sres, smax3,
-            mask_chunks=tables.mask_chunks, mode=mode, rounds=rounds,
-            interpret=interpret,
-        )
-        return (jnp.where(leftover, t3, hit_s),
-                jnp.where(leftover, row3, row),
-                jnp.where(leftover, bit3, bit))
-
-    hit_s, row, bit = jax.lax.cond(
-        jnp.any(leftover), safety, lambda a: a, (hit_s, row, bit))
-
     hit_s = hit_s.reshape(-1)[:n]
     return hit_s / dlen, row.reshape(-1)[:n], bit.reshape(-1)[:n]
 
@@ -1646,23 +1500,23 @@ def trace_scene_pallas_batched(scene, origin, direction, t_min, t_max,
 
 def trace_scene_pallas(scene, origin, direction, t_min, t_max,
                        mode: str = "precise", rounds: int = 64,
-                       interpret: bool | None = None,
-                       two_phase: bool = False):
+                       interpret: bool | None = None):
     """Closest-hit trace against every instance with the Pallas kernel —
     same contract as :func:`dust_tpu.ops.traverse.trace_scene`.
 
     The default path is the batched one-dispatch TLAS-style kernel
-    (:func:`trace_scene_pallas_batched`). ``two_phase`` selects the
-    straggler-decoupled per-instance loop
-    (:func:`trace_instance_pallas_2p`); ``DUST_PALLAS_SCENE=loop`` forces
-    the per-instance loop for A/B measurement."""
+    (:func:`trace_scene_pallas_batched`); ``DUST_PALLAS_SCENE=loop``
+    forces the per-instance loop for A/B measurement. (A two-phase
+    straggler-decoupled variant existed through round 3 — measured +12%
+    on the castle frame, pruned round 4; measurements recorded in
+    ARCHITECTURE.md.)"""
     from dust_tpu.ops.traverse import TraceResult
 
     if interpret is None:
         # CPU backend (tests, virtual meshes) only supports interpret mode.
         interpret = jax.default_backend() == "cpu"
 
-    if not two_phase and _os.environ.get("DUST_PALLAS_SCENE") != "loop":
+    if _os.environ.get("DUST_PALLAS_SCENE") != "loop":
         return trace_scene_pallas_batched(
             scene, origin, direction, t_min, t_max, mode=mode,
             rounds=rounds, interpret=interpret)
@@ -1695,9 +1549,7 @@ def trace_scene_pallas(scene, origin, direction, t_min, t_max,
             # entry-reports in boundary blocks — hardware never clips
             # gl_RayTmaxEXT per BLAS). The box clip still culls misses.
             cap = jnp.where(cap < tn, cap, cap0)
-        tracer = trace_instance_pallas_2p if two_phase else \
-            trace_instance_pallas
-        t, row, bit = tracer(
+        t, row, bit = trace_instance_pallas(
             tables, o_obj, d_obj, tn, cap, mode=mode, rounds=rounds,
             interpret=interpret,
         )

@@ -214,50 +214,3 @@ def test_fused_ao_fg_matches_split():
     assert (np.array(fg_s.inst)[b] == np.array(fg_f.inst)[b]).mean() >= 0.999
 
 
-def test_two_phase_matches_single_phase():
-    """Straggler-decoupled two-phase tracing must be bit-identical to the
-    single-phase kernel in every mode, including resumed stragglers and
-    the residue-collision safety path (forced via a tiny phase-1 budget,
-    which maximises unresolved rays)."""
-    from dust_tpu.ops.pallas_trace import (trace_instance_pallas,
-                                           trace_instance_pallas_2p,
-                                           trace_scene_pallas)
-    from dust_tpu.render.scene import build_device_scene
-
-    dev = build_device_scene(load_vox_scene(procgen.castle_scene_bytes()))
-    c2w = cam.look_at((122.0, 300.61, 54.45), (0.0, 0.0, 0.0))
-    cs = cam.camera_settings(c2w, 0.9, 0.1, 10000.0, 96, 54)
-    dirs = jnp.asarray(np.array(cam.camera_ray_dirs(cs, 96, 54)).reshape(-1, 3))
-    n = dirs.shape[0]
-    o = jnp.broadcast_to(jnp.asarray(np.array(cs.position)), (n, 3))
-
-    # Saturating budget on both sides: every ray fully resolves, so the
-    # paths must agree exactly. (At small budgets they can legitimately
-    # differ: phase 2 grants stragglers a fresh budget, and grazing rays
-    # that exhaust a small single-phase budget report miss — the reason
-    # the production default is rounds=64.)
-    for mode, tmax in (("precise", 10000.0), ("rough", 10000.0)):
-        a = trace_scene_pallas(dev, o, dirs, 0.1, tmax, mode=mode,
-                               interpret=True, rounds=200)
-        b = trace_scene_pallas(dev, o, dirs, 0.1, tmax, mode=mode,
-                               interpret=True, two_phase=True, rounds=200)
-        np.testing.assert_array_equal(np.array(a.row), np.array(b.row))
-        np.testing.assert_array_equal(np.array(a.bit), np.array(b.bit))
-        ta, tb = np.array(a.t), np.array(b.t)
-        # a is the batched scene kernel (normalises directions in-kernel),
-        # b the per-instance loop (host-side norm): t agrees to the ulp.
-        np.testing.assert_allclose(ta[np.isfinite(ta)], tb[np.isfinite(tb)],
-                                   rtol=1e-6)
-
-    # Starved phase-1 budget: nearly all rays resume in phase 2 and the
-    # k_div folding collides heavily, forcing the safety pass.
-    tables = build_pallas_tables(load_vox_scene(
-        procgen.castle_scene_bytes()).geometries[0].flat)
-    a = trace_instance_pallas(tables, o, dirs, 0.1, 10000.0,
-                              interpret=True, rounds=200)
-    b = trace_instance_pallas_2p(tables, o, dirs, 0.1, 10000.0,
-                                 interpret=True, phase1_rounds=1,
-                                 phase1_march=2, k_div=4, rounds=200)
-    np.testing.assert_array_equal(np.array(a[1]), np.array(b[1]))
-    ta, tb = np.array(a[0]), np.array(b[0])
-    np.testing.assert_allclose(ta[np.isfinite(ta)], tb[np.isfinite(tb)])
