@@ -38,11 +38,16 @@ GT_PATH = os.path.join(os.path.dirname(__file__), "golden",
                        "castle_gt_256x256.npz")
 
 # Recorded bounds = ~1.5x the values measured when the ground truth was
-# generated (2026-08-17, 512 frames @256x256): denoised-vs-GT 0.0308,
-# full-res(lumped)-vs-GT 0.0256, hash-vs-GT 0.0309.
+# generated. Re-recorded 2026-08-18 for the round-4 canonical scene
+# (castle doubled to 29k leaves; GT 512 frames @256x256): half-res
+# final-frame 0.0389 vs full-split 0.0278 (extra 0.0111), converged
+# half-res bias 0.0409 — the denser geometry carries more spatial detail
+# a half-resolution GI estimator cannot represent, so the half-res
+# bounds widened; the absolute gates (denoised/dense/hash vs GT) held at
+# their round-3 values.
 RMSE_DENOISED = 0.045
-HALF_RES_EXTRA = 0.008      # extra RMSE half-res may cost vs full-res
-RMSE_HALF_CONVERGED = 0.040  # steady-state half-res low-pass bias bound
+HALF_RES_EXTRA = 0.017      # extra RMSE half-res may cost vs full-res
+RMSE_HALF_CONVERGED = 0.055  # steady-state half-res low-pass bias bound
 RMSE_DENSE = 0.045
 RMSE_HASH = 0.045
 
@@ -196,9 +201,11 @@ def test_dense_vs_hash_gi_bias(rig, gt, dense_out):
 # staleness for throughput; these tests pin the QUALITY cost of the
 # bench-scale budgets against the converged GT so a knob that silently
 # degrades the image fails. Bounds = ~1.5x the values measured when
-# recorded (2026-08-18, 32-frame converged means @256x256):
-# budgeted-hash-vs-GT 0.0382 (unbudgeted 0.0381), budgeted-dense-vs-GT
-# 0.0382 (unbudgeted 0.0381) — the budgets' staleness cost ~1e-4 RMSE.
+# recorded (2026-08-18, 32-frame converged means @256x256, round-3
+# scene): budgeted-hash-vs-GT 0.0382 (unbudgeted 0.0381),
+# budgeted-dense-vs-GT 0.0382 (unbudgeted 0.0381) — the budgets'
+# staleness cost ~1e-4 RMSE; both gates re-verified green against the
+# round-4 scene's GT.
 RMSE_BUDGETED_HASH = 0.057
 RMSE_BUDGETED_DENSE = 0.057
 BUDGET_EXTRA = 0.004  # extra converged-mean RMSE a budget may cost
