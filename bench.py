@@ -92,6 +92,9 @@ def main():
                     help="octant-group the cosine STBN per kernel tile "
                     "(FG ray-coherence experiment; see "
                     "RenderSettings.fg_octant_sort)")
+    ap.add_argument("--bf16-guide", action="store_true",
+                    help="store the a-trous guide pack in bfloat16 "
+                    "(DenoiserSettings.atrous_guide_bf16)")
     ap.add_argument("--fuse-gi", action="store_true",
                     help="fused AO+FG walk (measured 2.5 ms slower than "
                     "split at 1080p; kept for tuning)")
@@ -162,8 +165,10 @@ def main():
     if args.hash_capacity:
         cap = args.hash_capacity
     direct_only = args.config == "primary-shadow"
+    from dust_tpu.config import DenoiserSettings
     settings = RenderSettings(
         width=width, height=height,
+        denoiser=DenoiserSettings(atrous_guide_bf16=args.bf16_guide),
         spatial_hash=SpatialHashSettings(capacity=cap,
                                          ws_refresh_slices=args.ws_slices),
         surfels=SurfelSettings(pool_size=pool,
