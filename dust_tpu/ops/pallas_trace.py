@@ -53,9 +53,22 @@ ROWS = int(_os.environ.get("DUST_PALLAS_ROWS", "8"))
 # "" = ungated full chunk walk (the round-1/2 measured default),
 # "one" = single-cond all-in-one-chunk fast path, "span" = 4-chunk
 # window at the tile's min chunk, "chunks" = per-chunk conds.
-_MASK_GATE = {"": False, "one": True}.get(
-    _os.environ.get("DUST_MASK_GATE", ""),
-    _os.environ.get("DUST_MASK_GATE", ""))
+# DUST_MASK_GATE overrides globally; defaults are per trace MODE (see
+# _mask_gate_for) so coherent primary tiles can gate while incoherent
+# secondary walks stay ungated.
+_MASK_GATE_ENV = _os.environ.get("DUST_MASK_GATE")
+
+
+def _gate_value(name: str):
+    return {"": False, "one": True}.get(name, name)
+
+
+def _mask_gate_for(mode: str):
+    if _MASK_GATE_ENV is not None:
+        return _gate_value(_MASK_GATE_ENV)
+    # Per-mode defaults (round-4 sweep on the 29-chunk castle pending;
+    # ungated everywhere until measured otherwise).
+    return _gate_value({}.get(mode, ""))
 # While-loop body unroll factors. Every while cond is a vector->scalar
 # sync (~120 cycles); at ~170-340 cycles of body work per iteration the
 # sync is a double-digit percentage of the loop, and frozen/dead lanes
@@ -632,9 +645,9 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         in_micro = cand & active
         mrow = jnp.where(in_micro, row, 0)
         mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks,
-                                  gate=_MASK_GATE, base=mask_base)
+                                  gate=_mask_gate_for(mode), base=mask_base)
         mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks,
-                                  gate=_MASK_GATE, base=mask_base)
+                                  gate=_mask_gate_for(mode), base=mask_base)
 
         s_m = jnp.maximum(s, s_min)
         pmx = ox + dx * s_m
@@ -761,9 +774,9 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             active = active_i2 != 0
             mrow = jnp.where(in_micro, row, 0)
             mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks,
-                                      gate=_MASK_GATE, base=mask_base)
+                                      gate=_mask_gate_for(mode), base=mask_base)
             mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks,
-                                      gate=_MASK_GATE, base=mask_base)
+                                      gate=_mask_gate_for(mode), base=mask_base)
 
             s_m = jnp.maximum(s, s_min)
             pmx = ox + dx * s_m
