@@ -51,8 +51,9 @@ import os as _os
 ROWS = int(_os.environ.get("DUST_PALLAS_ROWS", "8"))
 # Leaf-mask gather gating strategy for A/B experiments:
 # "" = ungated full chunk walk (the round-1/2 measured default),
-# "one" = single-cond all-in-one-chunk fast path, "span" = 4-chunk
-# window at the tile's min chunk, "chunks" = per-chunk conds.
+# "one" = single-cond all-in-one-chunk fast path, "spanN" (N=4/8/16;
+# bare "span" = 4) = N-chunk window at the tile's valid-lane min chunk,
+# "chunks" = per-chunk conds.
 # DUST_MASK_GATE overrides globally; defaults are per trace MODE (see
 # _mask_gate_for) so coherent primary tiles can gate while incoherent
 # secondary walks stay ungated.
@@ -66,9 +67,18 @@ def _gate_value(name: str):
 def _mask_gate_for(mode: str):
     if _MASK_GATE_ENV is not None:
         return _gate_value(_MASK_GATE_ENV)
-    # Per-mode defaults (round-4 sweep on the 29-chunk castle pending;
-    # ungated everywhere until measured otherwise).
-    return _gate_value({}.get(mode, ""))
+    # Per-mode defaults from the round-4 TPU sweep on the 29-chunk
+    # castle (tools/bench_trace.py, pair-gather kernels, best-of-3
+    # amortized ms — primary/shadow/ao):
+    #   ungated 9.35/10.54/4.83 · span16 9.12/9.32/4.54 ·
+    #   span8 8.74/10.05/4.38 · one 14.08/14.57/7.37
+    # span8 wins precise + ao_threshold; the fused ao_fg walk (the
+    # pipeline's shadow path) keeps span16 (its standalone-precise
+    # proxy preferred the wider window). Gains are ~5-10%: the
+    # chunk_span_sim's 2x model overestimated the walk's share of
+    # round time — the VPU hides most of the select cost.
+    return _gate_value({"precise": "span8", "ao_threshold": "span8",
+                        "ao_fg": "span16"}.get(mode, ""))
 # While-loop body unroll factors. Every while cond is a vector->scalar
 # sync (~120 cycles); at ~170-340 cycles of body work per iteration the
 # sync is a double-digit percentage of the loop, and frozen/dead lanes
@@ -202,117 +212,134 @@ def build_pallas_tables(flat) -> PallasTables:
 # In-kernel helpers
 # ---------------------------------------------------------------------------
 
-def _gather_chunked(tab_ref, idx, nchunks, gate=False, base=0):
-    """Gather int32 ``tab_ref[base*1024 + idx]`` where ``tab_ref`` is a
-    VMEM ref of shape (>=base+nchunks, 8, 128) and idx (R, 128) in
-    [0, nchunks*1024). Built from lane shuffles + sublane selects; chunks
-    no ray touches are skipped via a scalar cond (coherent ray tiles
-    usually touch 1-2 chunks). The chunk loop is a fori_loop with a
-    dynamic *ref* index so compiled code size is O(1) in the table size
-    (Mosaic has no dynamic_slice on values, but refs index dynamically).
+def _gather_chunked_multi(refs, idx, nchunks, gate=False, base=0,
+                          valid=None):
+    """Gather int32 ``ref[base*1024 + idx]`` for EVERY ref in ``refs``
+    (a tuple of VMEM refs of shape (>=base+nchunks, 8, 128)), idx (R,
+    128) in [0, nchunks*1024). Built from lane shuffles + sublane
+    selects; the ``(chunk == c) & (row == r)`` predicates are computed
+    once and shared across all refs, so gathering the lo+hi mask words
+    (or the two rank halves) costs ~2/3 of two independent walks.
+
     ``base`` (chunk units; may be a traced scalar) selects a model's
-    table slice out of a stacked multi-model array."""
+    table slice out of a stacked multi-model array. ``valid`` (bool,
+    same shape) marks lanes whose idx is meaningful: gated strategies
+    compute their chunk window over valid lanes only (inactive lanes
+    are zero-filled by callers, which would otherwise drag the window
+    to chunk 0 — the round-3 "span" gate's flaw). Invalid lanes return
+    garbage; callers mask.
+
+    Gates (see _mask_gate_for): False = ungated full walk; True =
+    single-chunk fast path; "spanN" (N in 4/8/16) = N-chunk dynamic
+    window at the valid-lane min chunk with a cond fallback to the full
+    walk (the round-4 chunk_span_sim measured castle tile-round spans
+    p99<=15, so span16 never falls back); "chunks" = per-chunk conds.
+    The chunk loops use dynamic *ref* indices so compiled code size is
+    O(1) in table size (Mosaic has no dynamic_slice on values, but refs
+    index dynamically)."""
     shape = idx.shape
     chunk = idx >> 10
     row = (idx >> 7) & 7
     lane = idx & 127
+    nrefs = len(refs)
+
+    def zeros():
+        return tuple(jnp.zeros(shape, jnp.int32) for _ in range(nrefs))
+
+    def accum(out, tabs, pred_chunk):
+        """One chunk's 8 sublane selects across all refs, predicates
+        shared."""
+        res = list(out)
+        for r in range(8):
+            pred = (row == r) if pred_chunk is None else \
+                pred_chunk & (row == r)
+            for k in range(nrefs):
+                trow = jnp.broadcast_to(tabs[k][r : r + 1, :], shape)
+                cand = jnp.take_along_axis(trow, lane, axis=1)
+                res[k] = jnp.where(pred, cand, res[k])
+        return tuple(res)
+
+    def load(c):
+        return tuple(ref[base + c] for ref in refs)
 
     def one_chunk(c):
-        """All indices in chunk ``c``: 8 sublane selects, no chunk test."""
-        t = tab_ref[base + c]
-        out = jnp.zeros(shape, jnp.int32)
-        for r in range(8):
-            trow = jnp.broadcast_to(t[r : r + 1, :], shape)
-            cand = jnp.take_along_axis(trow, lane, axis=1)
-            out = jnp.where(row == r, cand, out)
-        return out
+        return accum(zeros(), load(c), None)
 
     if nchunks == 1:
         return one_chunk(0)
+
+    def full():
+        out = zeros()
+        for c in range(nchunks):
+            out = accum(out, load(c), chunk == c)
+        return out
 
     if not gate:
         # Reduction-free path: every chunk unconditionally. Scalar<->vector
         # sync stalls from any()/cond gating cost far more than the extra
         # shuffles on this hardware (measured ~2800 vs ~400 cycles/iter).
-        out = jnp.zeros(shape, jnp.int32)
-        for c in range(nchunks):
-            t = tab_ref[base + c]
-            for r in range(8):
-                trow = jnp.broadcast_to(t[r : r + 1, :], shape)
-                cand = jnp.take_along_axis(trow, lane, axis=1)
-                out = jnp.where((chunk == c) & (row == r), cand, out)
-        return out
+        return full()
 
-    if gate == "span":
-        # Walk a static 4-chunk window starting at the tile's min chunk
-        # (2 reductions + 1 cond); incoherent tiles spanning more fall
-        # back to the full walk. Coherent tiles usually span 1-2 chunks.
-        cmin = jnp.min(chunk)
-        cmax = jnp.max(chunk)
+    vmin = chunk if valid is None else jnp.where(valid, chunk, nchunks)
+    vmax = chunk if valid is None else jnp.where(valid, chunk, -1)
 
-        def span4():
-            out = jnp.zeros(shape, jnp.int32)
-            for c in range(4):
-                # Clamp the load index (cmin may sit near the table end);
-                # the row match below still keys on the true chunk id.
-                t = tab_ref[base + jnp.minimum(cmin + c, nchunks - 1)]
-                for r in range(8):
-                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
-                    cand = jnp.take_along_axis(trow, lane, axis=1)
-                    out = jnp.where((chunk == cmin + c) & (row == r), cand,
-                                    out)
-            return out
-
-        def full():
-            out = jnp.zeros(shape, jnp.int32)
-            for c in range(nchunks):
-                t = tab_ref[base + c]
-                for r in range(8):
-                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
-                    cand = jnp.take_along_axis(trow, lane, axis=1)
-                    out = jnp.where((chunk == c) & (row == r), cand, out)
-            return out
-
-        if nchunks <= 4:
+    if isinstance(gate, str) and gate.startswith("span"):
+        # Walk a W-chunk window starting at the (valid-lane) min chunk
+        # (2 reductions + 1 cond); tiles spanning more fall back to the
+        # full walk.
+        W = int(gate[4:] or 4)
+        if nchunks <= W:
             return full()
-        return jax.lax.cond(cmax - cmin < 4, span4, full)
+        cmin = jnp.min(vmin)
+        cmax = jnp.max(vmax)
 
-    if gate == "chunks":
-        # Per-chunk cond only (one ~120-cycle sync gates ~220 cycles of
-        # shuffles; wins when the tile touches few of many chunks).
-        def chunk_body(c, out):
-            def do_chunk(out):
-                t = tab_ref[base + c]
-                res = out
-                for r in range(8):
-                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
-                    cand = jnp.take_along_axis(trow, lane, axis=1)
-                    res = jnp.where((chunk == c) & (row == r), cand, res)
-                return res
-            return jax.lax.cond(jnp.any(chunk == c), do_chunk, lambda o: o, out)
-        return jax.lax.fori_loop(0, nchunks, chunk_body,
-                                 jnp.zeros(shape, jnp.int32))
+        def spanw():
+            out = zeros()
+            for c in range(W):
+                # Clamp the load index (cmin may sit near the table end,
+                # or past it when no lane is valid); the chunk match
+                # below still keys on the true chunk id.
+                out = accum(out,
+                            load(jnp.minimum(cmin + c, nchunks - 1)),
+                            chunk == cmin + c)
+            return out
+
+        return jax.lax.cond(cmax - cmin < W, spanw, full)
 
     def general():
         def chunk_body(c, out):
             def do_chunk(out):
-                t = tab_ref[base + c]
-                res = out
-                for r in range(8):
-                    trow = jnp.broadcast_to(t[r : r + 1, :], shape)
-                    cand = jnp.take_along_axis(trow, lane, axis=1)
-                    res = jnp.where((chunk == c) & (row == r), cand, res)
-                return res
+                return accum(out, load(c), chunk == c)
 
-            return jax.lax.cond(jnp.any(chunk == c), do_chunk, lambda o: o, out)
+            return jax.lax.cond(jnp.any(chunk == c), do_chunk,
+                                lambda o: o, out)
 
-        return jax.lax.fori_loop(0, nchunks, chunk_body,
-                                 jnp.zeros(shape, jnp.int32))
+        return jax.lax.fori_loop(0, nchunks, chunk_body, zeros())
 
-    # Coherent tiles usually land in one chunk: single dynamic-indexed
-    # chunk with no per-chunk masking.
-    cmin = jnp.min(chunk)
-    return jax.lax.cond(jnp.max(chunk) == cmin, lambda: one_chunk(cmin), general)
+    if gate == "chunks":
+        # Per-chunk cond only (one ~120-cycle sync gates ~220 cycles of
+        # shuffles; wins when the tile touches few of many chunks).
+        return general()
+
+    # gate is True ("one"): coherent tiles land in one chunk — single
+    # dynamic-indexed chunk with no per-chunk masking.
+    cmin = jnp.min(vmin)
+    return jax.lax.cond(jnp.max(vmax) == cmin,
+                        lambda: one_chunk(jnp.minimum(cmin, nchunks - 1)),
+                        general)
+
+
+def _gather_chunked(tab_ref, idx, nchunks, gate=False, base=0, valid=None):
+    """Single-table :func:`_gather_chunked_multi`."""
+    return _gather_chunked_multi((tab_ref,), idx, nchunks, gate=gate,
+                                 base=base, valid=valid)[0]
+
+
+def _gather_chunked_pair(ref_a, ref_b, idx, nchunks, gate=False, base=0,
+                         valid=None):
+    """Two-table :func:`_gather_chunked_multi` (shared predicates)."""
+    return _gather_chunked_multi((ref_a, ref_b), idx, nchunks, gate=gate,
+                                 base=base, valid=valid)
 
 
 def _gather_l1_dist(l1, cl):
@@ -460,8 +487,10 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             def refresh(args):
                 w0, w1, reg_cl = args
                 clm = jnp.where(need, cl, 0)
-                return (jnp.where(need, _gather_chunked(l2w0_ref, clm, 4, base=l2_base), w0),
-                        jnp.where(need, _gather_chunked(l2w1_ref, clm, 4, base=l2_base), w1),
+                nw0, nw1 = _gather_chunked_pair(l2w0_ref, l2w1_ref, clm, 4,
+                                                base=l2_base)
+                return (jnp.where(need, nw0, w0),
+                        jnp.where(need, nw1, w1),
                         jnp.where(need, cl, reg_cl))
 
             w0, w1, reg_cl = jax.lax.cond(
@@ -609,8 +638,8 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         # Leaf row from the rank tables + in-word popcount.
         ccl = jnp.where(cand, cwidx >> 1, 0)
         half = cwidx & 1
-        r0 = _gather_chunked(l2r0_ref, ccl, 4, base=l2_base)
-        r1 = _gather_chunked(l2r1_ref, ccl, 4, base=l2_base)
+        r0, r1 = _gather_chunked_pair(l2r0_ref, l2r1_ref, ccl, 4,
+                                      base=l2_base)
         rank = jnp.where(half == 0, r0, r1)
         row = rank + _popcount_below(cword, cbit)
 
@@ -637,17 +666,19 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             active = active & ~ok
 
         # ---- micro DDA (hit.rint:43-137) -------------------------
-        # Mask fetch stays UNGATED: re-measured round 2 with
-        # gate="chunks" on the 15-chunk castle tables — 83 vs 69
-        # ms/frame. Secondary-bounce tiles are incoherent enough to
-        # touch most chunks, so the per-chunk cond syncs are pure
-        # overhead (matches the round-1 finding).
+        # Mask fetch gating: round 2 measured gate="chunks" a loss on
+        # the 15-chunk castle (83 vs 69 ms/frame — per-chunk cond syncs
+        # are pure overhead when secondary tiles touch most chunks),
+        # but the round-4 29-chunk castle changed the economics: the
+        # chunk_span_sim measured tile-round spans p99<=15 for all
+        # mask-fetching modes, so a span16 window (valid-lane min
+        # chunk, one cond, never falls back in practice) halves the
+        # ungated walk. Defaults per mode in _mask_gate_for.
         in_micro = cand & active
         mrow = jnp.where(in_micro, row, 0)
-        mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks,
-                                  gate=_mask_gate_for(mode), base=mask_base)
-        mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks,
-                                  gate=_mask_gate_for(mode), base=mask_base)
+        mask_lo, mask_hi = _gather_chunked_pair(
+            mlo_ref, mhi_ref, mrow, mask_chunks,
+            gate=_mask_gate_for(mode), base=mask_base, valid=in_micro)
 
         s_m = jnp.maximum(s, s_min)
         pmx = ox + dx * s_m
@@ -735,8 +766,8 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
 
         ccl = jnp.where(cand, cwidx >> 1, 0)
         half = cwidx & 1
-        r0 = _gather_chunked(l2r0_ref, ccl, 4, base=l2_base)
-        r1 = _gather_chunked(l2r1_ref, ccl, 4, base=l2_base)
+        r0, r1 = _gather_chunked_pair(l2r0_ref, l2r1_ref, ccl, 4,
+                                      base=l2_base)
         rank = jnp.where(half == 0, r0, r1)
         row = rank + _popcount_below(cword, cbit)
 
@@ -773,10 +804,9 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             active_i2, s, ao_t = args
             active = active_i2 != 0
             mrow = jnp.where(in_micro, row, 0)
-            mask_lo = _gather_chunked(mlo_ref, mrow, mask_chunks,
-                                      gate=_mask_gate_for(mode), base=mask_base)
-            mask_hi = _gather_chunked(mhi_ref, mrow, mask_chunks,
-                                      gate=_mask_gate_for(mode), base=mask_base)
+            mask_lo, mask_hi = _gather_chunked_pair(
+                mlo_ref, mhi_ref, mrow, mask_chunks,
+                gate=_mask_gate_for(mode), base=mask_base, valid=in_micro)
 
             s_m = jnp.maximum(s, s_min)
             pmx = ox + dx * s_m
@@ -871,8 +901,8 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         # trace instead of one per round.
         got = hit_widx >= 0
         ccl = jnp.where(got, hit_widx >> 1, 0)
-        r0 = _gather_chunked(l2r0_ref, ccl, 4, base=l2_base)
-        r1 = _gather_chunked(l2r1_ref, ccl, 4, base=l2_base)
+        r0, r1 = _gather_chunked_pair(l2r0_ref, l2r1_ref, ccl, 4,
+                                      base=l2_base)
         rank = jnp.where((hit_widx & 1) == 0, r0, r1)
         hit_row = jnp.where(
             got, rank + _popcount_below(hit_word,
