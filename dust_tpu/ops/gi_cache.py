@@ -46,9 +46,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "DenseGICache", "make_dense_gi_cache", "dense_rows", "dense_index",
-    "dense_get", "dense_update", "dense_update_slice", "pack_working_set",
-    "MAX_SAMPLE_COUNT",
+    "DenseGICache", "make_dense_gi_cache", "dense_rows", "dense_cells",
+    "cell_layout", "dense_index", "dense_get", "dense_update",
+    "dense_update_slice", "pack_working_set", "MAX_SAMPLE_COUNT",
 ]
 
 MAX_SAMPLE_COUNT = 404  # spatial_hash.glsl:179
@@ -95,21 +95,52 @@ class DenseGICache(NamedTuple):
         return (self.table[:, 1].astype(jnp.uint32) >> 16).astype(jnp.float32)
 
 
+def cell_layout(scene) -> tuple[tuple, tuple, int]:
+    """Per-INSTANCE (cell_base, cell_cap) of the cache's (instance,
+    leaf_row, face) key space, plus the total cell count.
+
+    Cell capacities are the scene's pinned ``gi_cell_cap`` (TIGHT
+    64-aligned per-model leaf counts) rather than the flat leaf tables'
+    25%-headroom segments: the cache's row count is what the per-frame
+    2M-ray GI gather pays for (fast gather emitter below ~220k rows,
+    render/scene.py dead-zone note), while splice growth past the
+    pinned cap just shades uncached (dense_index routes those rows to
+    the zero padding tail — no aliasing) until the next full rebuild."""
+    caps = tuple(scene.gi_cell_cap[m] for m in scene.inst_model)
+    bases = []
+    b = 0
+    for c in caps:
+        bases.append(b)
+        b += c
+    return tuple(bases), caps, b
+
+
 def dense_rows(scene) -> int:
     """Static cache row count (= table length, ROW_PAD-padded) for a
-    DeviceScene. The padding tail holds zero rows that no dense_index
-    ever produces (inst < I, row < lmax, face < 6 by construction)."""
-    lmax = scene.mask_lo.shape[1]
-    return padded_rows(scene.num_instances * lmax * 6)
+    DeviceScene. The padding tail holds zero rows; dense_index also
+    routes leaf rows past the pinned cell caps there (count 0 ->
+    found=False)."""
+    from dust_tpu.render.scene import pad_rows_past_dead_zone
+    _, _, total = cell_layout(scene)
+    return padded_rows(pad_rows_past_dead_zone(padded_rows(total * 6)))
+
+
+def dense_cells(scene) -> int:
+    """Cache length in CELLS (rows / 6) — the padded cell-list length
+    the surfel pass and working-set enumeration must use to stay
+    row-aligned with the table."""
+    return dense_rows(scene) // 6
 
 
 def _albedo_words(scene) -> jnp.ndarray:
     """Per-(instance, leaf, face) albedo word — 6 faces share the leaf's
-    average albedo (R10G10B10A2). ROW_PAD-padded with zeros."""
-    inst_model = jnp.asarray(scene.inst_model, jnp.int32)
-    alb = scene.avg_albedo[inst_model].reshape(-1)       # (I*lmax,) u32
+    average albedo (R10G10B10A2). Padded with zeros to dense_rows."""
+    _, caps, _ = cell_layout(scene)
+    parts = [scene.avg_albedo[m, :caps[i]]
+             for i, m in enumerate(scene.inst_model)]
+    alb = jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint32)
     alb6 = jnp.repeat(alb, 6).astype(jnp.uint32)
-    pad = padded_rows(alb6.shape[0]) - alb6.shape[0]
+    pad = dense_rows(scene) - alb6.shape[0]
     if pad:
         alb6 = jnp.concatenate([alb6, jnp.zeros(pad, jnp.uint32)])
     return alb6
@@ -151,14 +182,20 @@ def pack_working_set(radiance: jnp.ndarray, count: jnp.ndarray,
         jnp.stack([w0, w1, _albedo_words(scene)], axis=-1), jnp.int32))
 
 
-def dense_index(lmax: int, inst: jnp.ndarray, row: jnp.ndarray,
+def dense_index(scene, inst: jnp.ndarray, row: jnp.ndarray,
                 face: jnp.ndarray) -> jnp.ndarray:
-    """Flat cache row for a hit; miss lanes clamp to row 0 (callers gate
-    with ``valid``)."""
+    """Flat cache row for a hit (per-instance segment layout, see
+    :func:`cell_layout`); miss lanes clamp into valid rows (callers gate
+    with ``valid``), and leaf rows past the instance's pinned cell cap
+    read the zero padding tail (found=False, never aliased)."""
+    bases, caps, _ = cell_layout(scene)
     i = jnp.maximum(inst, 0)
-    r = jnp.clip(row, 0, lmax - 1)
+    base = jnp.asarray(bases, jnp.int32)[i]
+    cap = jnp.asarray(caps, jnp.int32)[i]
+    r = jnp.maximum(row, 0)
     f = jnp.clip(face, 0, 5)
-    return (i * lmax + r) * 6 + f
+    idx = (base + jnp.minimum(r, cap - 1)) * 6 + f
+    return jnp.where(r < cap, idx, dense_rows(scene) - 1)
 
 
 def dense_get(cache: DenseGICache, idx: jnp.ndarray, valid: jnp.ndarray):

@@ -84,7 +84,20 @@ def _mask_gate_for(mode: str):
 # sync is a double-digit percentage of the loop, and frozen/dead lanes
 # are masked no-ops so over-running by unroll-1 iterations is harmless.
 _MARCH_UNROLL = int(_os.environ.get("DUST_MARCH_UNROLL", "2"))
-_MICRO_UNROLL = int(_os.environ.get("DUST_MICRO_UNROLL", "1"))
+_MICRO_UNROLL_ENV = _os.environ.get("DUST_MICRO_UNROLL")
+
+
+def _micro_unroll_for(mode: str) -> int:
+    """Micro-DDA loop unroll, per trace mode (DUST_MICRO_UNROLL
+    overrides for sweeps). Round-4 sweep on the 29k-leaf castle
+    (tools/bench_trace.py, best-of-2 runs, ms): unroll 1 -> 2 takes
+    primary 8.8 -> 8.0 and ao 4.6 -> 2.7 (the short AO micro walks are
+    sync-bound), while the fused ao_fg shadow walk regresses 6.7 -> 9.0
+    (its union body is long; over-running costs more than the syncs
+    save). "rough" has no micro loop — the knob is inert there."""
+    if _MICRO_UNROLL_ENV is not None:
+        return int(_MICRO_UNROLL_ENV)
+    return {"precise": 2, "ao_threshold": 2, "ao_fg": 1}.get(mode, 1)
 
 
 def _compose(body, n: int):
@@ -739,7 +752,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         st = (in_micro.astype(jnp.int32), s_m, mx, my, mz, tmx, tmy, tmz,
               active.astype(jnp.int32), hit_s, hit_row, hit_bit,
               jnp.int32(0))
-        st = jax.lax.while_loop(mcond, _compose(mbody, _MICRO_UNROLL), st)
+        st = jax.lax.while_loop(mcond, _compose(mbody, _micro_unroll_for(mode)), st)
         active = st[8] != 0
         hit_s, hit_row, hit_bit = st[9], st[10], st[11]
 
@@ -865,7 +878,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             st = (in_micro.astype(jnp.int32), s_m, mx, my, mz,
                   tmx, tmy, tmz, active.astype(jnp.int32), ao_t,
                   jnp.int32(0))
-            st = jax.lax.while_loop(mcond, _compose(mbody, _MICRO_UNROLL), st)
+            st = jax.lax.while_loop(mcond, _compose(mbody, _micro_unroll_for(mode)), st)
             active2 = st[8] != 0
             ao_t = st[9]
 

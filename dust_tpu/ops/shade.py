@@ -65,9 +65,10 @@ def resolve_hits(scene, res, origin_w, dir_w):
     n = res.t.shape[0]
     hit = res.inst >= 0
     inst = jnp.maximum(res.inst, 0)
-    model = jnp.asarray(scene.inst_model, jnp.int32)[inst]
-    lmax = scene.mask_lo.shape[1]
-    flat_row = model * lmax + jnp.maximum(res.row, 0)
+    # Flat leaf-table row: per-model segment base + leaf row (the
+    # per-instance base tuple is static; one tiny-table gather).
+    flat_row = jnp.asarray(scene.inst_leaf_base, jnp.int32)[inst] \
+        + jnp.maximum(res.row, 0)
 
     # ONE row gather for everything primary shading needs: the
     # denormalised voxel_attr table (16 voxels per 64 B row) replaces
@@ -156,9 +157,8 @@ def leaf_attributes(scene, res, origin_w, dir_w, cell_size: float = 4.0):
     face id from the leaf-AABB normal) and the leaf's average albedo."""
     hit = res.inst >= 0
     inst = jnp.maximum(res.inst, 0)
-    model = jnp.asarray(scene.inst_model, jnp.int32)[inst]
-    lmax = scene.mask_lo.shape[1]
-    flat_row = model * lmax + jnp.maximum(res.row, 0)
+    flat_row = jnp.asarray(scene.inst_leaf_base, jnp.int32)[inst] \
+        + jnp.maximum(res.row, 0)
 
     attr = jnp.take(scene.leaf_attr_fg, flat_row, axis=0)
     po = attr[:, 0].astype(jnp.uint32)

@@ -197,7 +197,6 @@ class SceneEditor:
         if not self._dirty:
             return None
         palette = self.vox_scene.palette  # (256,4) uint8
-        lmax = int(self.device.mask_lo.shape[1])
         inst_model = self.device.inst_model
 
         # ---- eligibility + per-leaf new content (no state mutated yet)
@@ -276,14 +275,19 @@ class SceneEditor:
             if frame_state is not None else None
         gi_rows = gi_alb = None
         if dense or ws is not None:
+            cbases, ccaps, _ = gilib.cell_layout(self.device)
             per_model = {m: [i for i, im in enumerate(inst_model) if im == m]
                          for m in set(models.tolist())}
             width = max(len(v) for v in per_model.values()) * 6
             gi_rows = np.full((K, width), -1, np.int32)
             gi_alb = np.zeros((K, width), np.int32)
             for k in range(K):
-                cells = [(i * lmax + int(rows[k])) * 6 + f
-                         for i in per_model[int(models[k])] for f in range(6)]
+                # Rows past an instance's pinned cell cap have no cache
+                # cell (dense_index routes them to the padding tail) —
+                # skip them here too.
+                cells = [(cbases[i] + int(rows[k])) * 6 + f
+                         for i in per_model[int(models[k])]
+                         if int(rows[k]) < ccaps[i] for f in range(6)]
                 gi_rows[k, :len(cells)] = cells
                 gi_alb[k, :len(cells)] = albs[k:k + 1].view(np.int32)[0]
 

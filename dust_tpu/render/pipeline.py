@@ -145,21 +145,24 @@ def _pool_enqueue_mod(dest, mask, values):
 
 def _cell_enumeration(scene):
     """World-space leaf centers + validity for every (instance, leaf)
-    row — the (instance, leaf_row, face) cell basis BOTH GI caches key
-    by (leaf centers transform per instance; tiny static loop). Padded
-    to the dense cache's ROW_PAD/6 so the ×6-face expansion lines up
-    row-for-row with the (sharded) cache table."""
+    cell — the (instance, leaf_row, face) cell basis BOTH GI caches key
+    by (leaf centers transform per instance; tiny static loop). Uses
+    the cache's per-instance segment layout (gi_cache.cell_layout) and
+    pads to dense_cells so the ×6-face expansion lines up row-for-row
+    with the (sharded) cache table."""
+    _, ccaps, _ = gilib.cell_layout(scene)
     centers, vleafs = [], []
     for i, m in enumerate(scene.inst_model):
-        co = scene.leaf_origin[m].astype(jnp.float32) + 2.0  # (L,3)
+        cc = ccaps[i]
+        co = scene.leaf_origin[m, :cc].astype(jnp.float32) + 2.0  # (cc,3)
         o2w = scene.obj_to_world[i]
         cw = jnp.einsum("ij,nj->ni", o2w[:, :3], co,
                         precision="highest") + o2w[:, 3]
         centers.append(cw)
-        vleafs.append((scene.mask_lo[m] | scene.mask_hi[m]) != 0)
+        vleafs.append((scene.mask_lo[m, :cc] | scene.mask_hi[m, :cc]) != 0)
     centers = jnp.concatenate(centers)
     vleafs = jnp.concatenate(vleafs)
-    pad = gilib.padded_rows(centers.shape[0] * 6) // 6 - centers.shape[0]
+    pad = gilib.dense_cells(scene) - centers.shape[0]
     if pad:
         centers = jnp.concatenate(
             [centers, jnp.zeros((pad, 3), centers.dtype)])
@@ -371,7 +374,6 @@ def render_frame(
 
     thr = settings.ambient_occlusion_threshold
     dense = settings.gi_cache == "dense"
-    lmax = scene.mask_lo.shape[1]
     new_gi_ws = state.gi_ws
     # Reference parity: the CONTRIBUTION_* defines are compile-time — with
     # every secondary contribution off, the AO/FG/surfel dispatches do not
@@ -486,7 +488,7 @@ def render_frame(
         # (shade.entry_face + gi_cache layout docs).
         face = shade.entry_face(scene, fg, hit_loc, gi_dir)
         found, cached, cnt, alb_u32 = gilib.dense_get(
-            gi_reads, gilib.dense_index(lmax, fg.inst, fg.row, face),
+            gi_reads, gilib.dense_index(scene, fg.inst, fg.row, face),
             fg_hit)
         from dust_tpu.vox.geometry import unpack_r10g10b10a2
         fg_albedo = unpack_r10g10b10a2(alb_u32, xp=jnp)
@@ -525,7 +527,7 @@ def render_frame(
             if dense:
                 _, dbg_rad, _, _dbg_alb = gilib.dense_get(
                     gi_reads,
-                    gilib.dense_index(lmax, primary.inst, primary.row,
+                    gilib.dense_index(scene, primary.inst, primary.row,
                                       dbg_leaf["face"]), hit)
             else:
                 _, dbg_rad, _ = sh.hash_get(state.gi, dbg_leaf["qpos"],
@@ -650,7 +652,7 @@ def render_frame(
         s_face = shade.entry_face(scene, s_res, s_origin, s_dir)
         s_found, s_cached, s_cnt, s_alb_u32 = gilib.dense_get(
             gi_reads,
-            gilib.dense_index(lmax, s_res.inst, s_res.row, s_face),
+            gilib.dense_index(scene, s_res.inst, s_res.row, s_face),
             s_hit)
         s_albedo = unpack_r10g10b10a2(s_alb_u32, xp=jnp)
         s_albedo_lin = colorlib.srgb_eotf(s_albedo[:, :3], xp=jnp)

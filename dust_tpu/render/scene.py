@@ -104,23 +104,25 @@ class DeviceScene:
     # 256^3 grid; hardware TLAS gave the reference this for free).
     model_aabb_min: jnp.ndarray  # (M, 3) float32
     model_aabb_max: jnp.ndarray  # (M, 3) float32
-    # Packed per-leaf attribute rows for one-gather shading:
+    # Packed per-leaf attribute rows for one-gather shading, laid out in
+    # per-model capacity segments (``leaf_base``/``leaf_cap`` — a flat
+    # row is ``leaf_base[model] + leaf_row``; see :func:`leaf_layout`):
     # [ox|oy<<8|oz<<16, mask_lo, mask_hi, material_ptr] (hit.rchit needs).
-    leaf_attr: jnp.ndarray      # (M*Lmax, 4) int32
+    leaf_attr: jnp.ndarray      # (F, 4) int32, F = sum(leaf_cap)
     # [ox|oy<<8|oz<<16, avg_albedo] (final_gather/surfel.rchit needs).
-    leaf_attr_fg: jnp.ndarray   # (M*Lmax, 2) int32
+    leaf_attr_fg: jnp.ndarray   # (F, 2) int32
     # UNCOMPACTED per-voxel shading rows, 16 voxels per 64 B row
     # (row = (flat_row*64+bit) >> 4, word = bit & 15). Denormalises
     # material_rgba through the popcount compaction so primary shading
     # pays ONE row gather instead of leaf_attr + material_rgba (two 2M
     # gathers + a popcount chain). Row geometry is deliberate: 64 B is
-    # the widest free row (gather cost is per ROW), and M*Lmax*4 rows
-    # keeps castle-scale scenes under the ~220k-row threshold where TPU
-    # row gathers run ~2.5x faster than from large tables. ~3x the
-    # compacted bytes, traded against abundant HBM; the compacted tables
-    # stay for the hash-GI path (hit.rchit:59-71 is the compaction spec
-    # this denormalises).
-    voxel_attr: jnp.ndarray     # (M*Lmax*4, 16) int32
+    # the widest free row (gather cost is per ROW), and the per-model
+    # segment layout keeps castle-scale scenes under the ~220k-row
+    # fast-emitter ceiling (see the dead-zone note at leaf_layout). ~3x
+    # the compacted bytes, traded against abundant HBM; the compacted
+    # tables stay for the hash-GI path (hit.rchit:59-71 is the
+    # compaction spec this denormalises).
+    voxel_attr: jnp.ndarray     # (>=F*4, 16) int32
     # Pallas traversal tables (stacked over models; see ops/pallas_trace).
     pl_l1: jnp.ndarray          # (M, 8, 128) int32 packed L1 skip nibbles
     pl_l2w0: jnp.ndarray        # (M, 4, 8, 128) int32
@@ -138,10 +140,29 @@ class DeviceScene:
         default=(), metadata=dict(static=True))
     pl_chunks: tuple = dataclasses.field(          # per-model REAL chunks
         default=(), metadata=dict(static=True))
+    # Flat leaf-table segment layout (leaf_layout); pinned at build time
+    # so splices keep other models' flat rows in place.
+    leaf_base: tuple = dataclasses.field(          # per-model row base
+        default=(), metadata=dict(static=True))
+    leaf_cap: tuple = dataclasses.field(           # per-model row capacity
+        default=(), metadata=dict(static=True))
+    # Dense-GI cell capacity per model (ops/gi_cache layout): TIGHT
+    # 64-aligned leaf counts, pinned at build. Leaves a splice adds past
+    # this cap simply have no cache cell (they shade as uncached — no
+    # aliasing) until the next full rebuild re-pins it.
+    gi_cell_cap: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     @property
     def num_instances(self) -> int:
         return len(self.inst_model)
+
+    @property
+    def inst_leaf_base(self) -> tuple:
+        """Per-INSTANCE flat leaf-table row base (= leaf_base of the
+        instance's model) — shading resolves a hit's flat row with one
+        tiny gather by instance id."""
+        return tuple(self.leaf_base[m] for m in self.inst_model)
 
     @property
     def num_models(self) -> int:
@@ -196,23 +217,53 @@ def material_layout(geos) -> tuple[list[int], list[int]]:
     return bases, caps
 
 
-# XLA's 2M-index row gather has a measured dead zone in table size on
-# the v5e: tables up to ~3.5 MB use a locality-friendly emitter
-# (~4 ms/frame for the hot material fetch), tables of ~3.6-8 MB fall
-# onto a ~25 ms/frame path, and >=8.4 MB picks a third emitter back at
-# ~6-10 ms. Shading only reads rows below the live entry count, so when
-# the natural size lands in the dead zone we simply pad the table PAST
-# it (HBM is free compared to 25 ms/frame; measured 109.8 -> 80.2
-# ms/frame on castle+teapot).
-_GATHER_SMALL_MAX_ROWS = 220_000   # 16 B rows: ~3.5 MB
-_GATHER_BIG_MIN_ROWS = 524_288     # 16 B rows: 8.4 MB
+# XLA's 2M-index row gather has a measured dead zone in table ROW COUNT
+# on the v5e (tools/gather_cliff_probe.py, re-measured round 4 for 16 B
+# and 64 B rows): tables up to ~220k rows use a locality-friendly
+# emitter (+0-3 ms over the dispatch floor for the 2M-ray fetch), rows
+# in ~[234k, 262k] fall onto a catastrophic path (+17 ms isolated,
+# 35 ms/frame in-context for the round-4 voxel_attr), and larger tables
+# pick a third emitter at +4 ms (16 B rows) / +8-10 ms (64 B rows).
+# Hot tables therefore (a) lay out per-model capacity SEGMENTS instead
+# of max-padded strides to stay under the fast-emitter ceiling, and
+# (b) when a scene is genuinely too big, pad PAST the catastrophic
+# window (HBM is free compared to 17 ms/frame).
+_GATHER_SMALL_MAX_ROWS = 220_000
+_GATHER_BIG_MIN_ROWS = 524_288
 
 
-def _material_rgba_rows(n_entries: int) -> int:
-    rows = max(-(-n_entries // 4), 1)
+def pad_rows_past_dead_zone(rows: int) -> int:
+    """Bump a gather-hot table's row count past the slow-emitter window
+    (no-op for tables already under the fast-emitter ceiling)."""
     if _GATHER_SMALL_MAX_ROWS < rows < _GATHER_BIG_MIN_ROWS:
         return _GATHER_BIG_MIN_ROWS
     return rows
+
+
+def _material_rgba_rows(n_entries: int) -> int:
+    return pad_rows_past_dead_zone(max(-(-n_entries // 4), 1))
+
+
+def leaf_layout(geos) -> tuple[list[int], list[int]]:
+    """Per-model (base, capacity) row segments of the FLAT leaf tables
+    (leaf_attr / leaf_attr_fg / voxel_attr).
+
+    Round 3 laid these out as ``model * lmax`` strides; padding every
+    model to the largest one doubled the row count on the round-4
+    castle+teapot and pushed voxel_attr into the gather emitter's
+    catastrophic window (35 ms/frame for the primary shading gather —
+    see the dead-zone note above). Capacities are 64-aligned with ~25%
+    headroom so the splice refit can grow a model in place (same policy
+    as material_layout)."""
+    bases, caps = [], []
+    base = 0
+    for g in geos:
+        L = g.num_blocks
+        cap = max(64, -(-(L + L // 4) // 64) * 64)
+        bases.append(base)
+        caps.append(cap)
+        base += cap
+    return bases, caps
 
 
 def _build_voxel_attr(mask_lo, mask_hi, matptr, mat_words):
@@ -306,19 +357,37 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
     ).view(np.int32)
     mat_rgba = mat_rgba.reshape(m4, 4)
 
-    o = origin.reshape(-1, 3).astype(np.uint32)
-    packed_origin = (o[:, 0] | (o[:, 1] << 8) | (o[:, 2] << 16)).view(np.int32)
-    leaf_attr = np.zeros((M * lmax, 4), dtype=np.int32)
-    leaf_attr[:, 0] = packed_origin
-    leaf_attr[:, 1] = mask_lo.reshape(-1).view(np.int32)
-    leaf_attr[:, 2] = mask_hi.reshape(-1).view(np.int32)
-    leaf_attr[:, 3] = matptr.reshape(-1)
-    leaf_attr_fg = np.zeros((M * lmax, 2), dtype=np.int32)
-    leaf_attr_fg[:, 0] = packed_origin
-    leaf_attr_fg[:, 1] = albedo.reshape(-1).view(np.int32)
-    voxel_attr = _build_voxel_attr(
-        mask_lo.reshape(-1), mask_hi.reshape(-1), matptr.reshape(-1),
-        mat_rgba.reshape(-1))
+    # Flat per-leaf shading tables in per-model capacity segments (see
+    # leaf_layout for why NOT model*lmax strides).
+    lbase, lcap = leaf_layout(geos)
+    F = (lbase[-1] + lcap[-1]) if geos else 64
+    Fp = pad_rows_past_dead_zone(F)
+    flat_lo = np.zeros(F, dtype=np.uint32)
+    flat_hi = np.zeros(F, dtype=np.uint32)
+    flat_mp = np.zeros(F, dtype=np.int32)
+    leaf_attr = np.zeros((Fp, 4), dtype=np.int32)
+    leaf_attr_fg = np.zeros((Fp, 2), dtype=np.int32)
+    for i, g in enumerate(geos):
+        L = g.num_blocks
+        b = lbase[i]
+        flat_lo[b:b + L] = g.flat.mask_lo
+        flat_hi[b:b + L] = g.flat.mask_hi
+        flat_mp[b:b + L] = g.flat.material_ptr.astype(np.int64) + bases[i]
+        o = g.flat.leaf_origin.astype(np.uint32)
+        po = (o[:, 0] | (o[:, 1] << 8) | (o[:, 2] << 16)).view(np.int32)
+        leaf_attr[b:b + L, 0] = po
+        leaf_attr[b:b + L, 1] = g.flat.mask_lo.view(np.int32)
+        leaf_attr[b:b + L, 2] = g.flat.mask_hi.view(np.int32)
+        leaf_attr[b:b + L, 3] = flat_mp[b:b + L]
+        leaf_attr_fg[b:b + L, 0] = po
+        leaf_attr_fg[b:b + L, 1] = g.avg_albedo.view(np.int32)
+    voxel_attr = _build_voxel_attr(flat_lo, flat_hi, flat_mp,
+                                   mat_rgba.reshape(-1))
+    va_rows = pad_rows_past_dead_zone(voxel_attr.shape[0])
+    if va_rows > voxel_attr.shape[0]:
+        voxel_attr = np.concatenate(
+            [voxel_attr,
+             np.zeros((va_rows - voxel_attr.shape[0], 16), np.int32)])
 
     inst_model = tuple(id_to_slot[inst.model_id] for inst in scene.instances)
     o2w = np.stack([inst.transform[:3, :4] for inst in scene.instances]).astype(
@@ -350,6 +419,10 @@ def build_device_scene(scene: VoxScene) -> DeviceScene:
         pl_mhi=jnp.asarray(tables[6]),
         inst_model=inst_model,
         pl_chunks=pl_chunks,
+        leaf_base=tuple(lbase),
+        leaf_cap=tuple(lcap),
+        gi_cell_cap=tuple(max(64, -(-g.num_blocks // 64) * 64)
+                          for g in geos),
         obj_to_world=o2w_j,
         world_to_obj=_invert_affines(o2w_j) if len(inst_model) else jnp.zeros((0, 3, 4)),
         prev_obj_to_world=o2w_j,
@@ -372,10 +445,11 @@ def splice_model(device: DeviceScene, slot: int, geo,
     from dust_tpu.ops.pallas_trace import build_pallas_tables
 
     lmax = device.mask_lo.shape[1]
+    lcap = device.leaf_cap[slot]
     CL = device.pl_mlo.shape[1]
     L = geo.num_blocks
     n_mats = len(geo.materials)
-    if L > lmax or n_mats > mat_cap:
+    if L > lmax or L > lcap or n_mats > mat_cap:
         return None
     tables = build_pallas_tables(geo.flat)
     # The batched scene kernel bakes each model's REAL chunk count in at
@@ -405,19 +479,22 @@ def splice_model(device: DeviceScene, slot: int, geo,
     seg_rgba = (rgba8[:, 0] | (rgba8[:, 1] << 8) | (rgba8[:, 2] << 16)
                 | (seg.astype(np.uint32) << 24)).view(np.int32)
 
-    o = org.astype(np.uint32)
+    # Flat-table segment rows (lcap of them — the model's slice of the
+    # per-model segment layout, see leaf_layout).
+    o = org[:lcap].astype(np.uint32)
     packed_origin = (o[:, 0] | (o[:, 1] << 8) | (o[:, 2] << 16)).view(np.int32)
-    la = np.zeros((lmax, 4), dtype=np.int32)
+    la = np.zeros((lcap, 4), dtype=np.int32)
     la[:, 0] = packed_origin
-    la[:, 1] = ml.view(np.int32)
-    la[:, 2] = mh.view(np.int32)
-    la[:, 3] = mp
-    lafg = np.zeros((lmax, 2), dtype=np.int32)
+    la[:, 1] = ml[:lcap].view(np.int32)
+    la[:, 2] = mh[:lcap].view(np.int32)
+    la[:, 3] = mp[:lcap]
+    lafg = np.zeros((lcap, 2), dtype=np.int32)
     lafg[:, 0] = packed_origin
-    lafg[:, 1] = alb.view(np.int32)
+    lafg[:, 1] = alb[:lcap].view(np.int32)
     # Voxel rows index the model-LOCAL material words (mp carries the
     # global base; the local table is the same words at local offsets).
-    va = _build_voxel_attr(ml, mh, np.where(ml | mh, mp - mat_base, 0),
+    va = _build_voxel_attr(ml[:lcap], mh[:lcap],
+                           np.where((ml | mh)[:lcap], mp[:lcap] - mat_base, 0),
                            seg_rgba)
 
     if L:
@@ -445,16 +522,17 @@ def splice_model(device: DeviceScene, slot: int, geo,
     # One jit-compiled dispatch for all 19 row updates (19 separate
     # .at[].set calls each pay their own compile + tunnel dispatch).
     return _apply_splice(device, updates, slot, mat_base, mat_cap,
-                         device.mask_lo.shape[1])
+                         device.leaf_base[slot], lcap)
 
 
 from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(_jax.jit, static_argnames=("slot", "mat_base", "mat_cap", "lmax"))
-def _apply_splice(device, updates, slot, mat_base, mat_cap, lmax):
-    r0, r1 = slot * lmax, (slot + 1) * lmax
+@_partial(_jax.jit,
+          static_argnames=("slot", "mat_base", "mat_cap", "r0", "lcap"))
+def _apply_splice(device, updates, slot, mat_base, mat_cap, r0, lcap):
+    r1 = r0 + lcap
     u = {k: jnp.asarray(v) for k, v in updates.items()}
     repl = {}
     for name in ("cell_info", "mask_lo", "mask_hi", "leaf_origin",
@@ -522,7 +600,6 @@ def apply_leaf_patch(device, model, row, mask_lo, mask_hi, alb, attr, fg,
     derived flat indices. Returns ``(device, gi_table-or-None)``."""
     k = len(row)
     kp = max(8, 1 << (k - 1).bit_length())
-    lmax = device.mask_lo.shape[1]
 
     def pad(a, fill):
         a = np.asarray(a)
@@ -532,7 +609,8 @@ def apply_leaf_patch(device, model, row, mask_lo, mask_hi, alb, attr, fg,
 
     model_p = pad(np.asarray(model, np.int32), 0)
     row_p = pad(np.asarray(row, np.int32), -1)
-    flat = np.where(row_p >= 0, model_p * lmax + row_p, -1).astype(np.int32)
+    lbase = np.asarray(device.leaf_base, np.int64)
+    flat = np.where(row_p >= 0, lbase[model_p] + row_p, -1).astype(np.int32)
     if gi_table is None:
         gi_in = jnp.zeros((1, 3), jnp.int32)
         rows_in = np.full((kp, 1), -1, np.int32)
