@@ -269,13 +269,15 @@ _K_BILIN = (0.25, 0.75, 0.75, 0.25)
 _K_NEAREST = (0.0, 1.0, 1.0, 0.0)
 
 
-def _up2_both(x):
-    """2× upsample of (h2, w2, C) to (2h2, 2w2, 2C) in ONE dilated
-    grouped conv: output channels [0:C] bilinear, [C:2C] nearest (the
-    TPU-native transposed-conv lowering; strided slices / jnp.repeat
-    relayout lanes through the scalar path). 4-tap alignment: output 2i
-    reads taps {i-1: k0, i: k2}, output 2i+1 reads {i: k1, i+1: k3}."""
+def _up2_both(x, n_nearest=None):
+    """2× upsample of (h2, w2, C) to (2h2, 2w2, C+n_nearest) in ONE
+    dilated grouped conv: output channels [0:C] bilinear, [C:] nearest
+    for the FIRST ``n_nearest`` input channels only (the TPU-native
+    transposed-conv lowering; strided slices / jnp.repeat relayout lanes
+    through the scalar path). 4-tap alignment: output 2i reads taps
+    {i-1: k0, i: k2}, output 2i+1 reads {i: k1, i+1: k3}."""
     h, wdt, c = x.shape
+    n_nearest = c if n_nearest is None else n_nearest
     kb = jnp.asarray(_K_BILIN, x.dtype)
     kn = jnp.asarray(_K_NEAREST, x.dtype)
     k2b = kb[:, None] * kb[None, :]                    # (4,4)
@@ -284,10 +286,13 @@ def _up2_both(x):
     # Block-diagonal HWIO kernel: out[:c] = bilinear, out[c:] = nearest
     # (contiguous channel blocks — a grouped conv would interleave them,
     # and strided channel slices relayout lanes). The channel "matmul"
-    # is a 9→18 identity-ish map, free on the MXU.
+    # is a 9→13 identity-ish map, free on the MXU. Trimming the nearest
+    # block to the channels the edge fallback actually reads measured
+    # ~0.9 ms/frame at 1080p (tools/upsample_bench.py).
     k = jnp.concatenate(
-        [k2b[:, :, None, None] * eye, k2n[:, :, None, None] * eye],
-        axis=-1)                                       # (4,4,c,2c)
+        [k2b[:, :, None, None] * eye,
+         k2n[:, :, None, None] * eye[:, :n_nearest]],
+        axis=-1)                                       # (4,4,c,c+n)
     # (An explicit bf16 cast was measured neutral — XLA already runs the
     # conv's operands in bf16 internally.) NCHW output: the consumers
     # read per-channel planes, and an NHWC conv result gets relayouted
@@ -321,7 +326,7 @@ def upsample_bilateral(img_half, hd_half, depth_half, normal_half,
          jnp.ones(depth_half.shape + (1,), img_half.dtype)],
         axis=-1)  # (h2, w2, 9); last channel renormalises borders
 
-    up = _up2_both(pack)[:H, :W]
+    up = _up2_both(pack, n_nearest=4)[:H, :W]
     up_b, up_n = up[..., :9], up[..., 9:]
     up_b = up_b / jnp.maximum(up_b[..., 8:9], 1e-6)  # border weight renorm
 

@@ -13,6 +13,11 @@ every cell the hash could ever hold is one of ``instances × leaf_rows ×
 cache is therefore a dense table indexed by ``(instance, leaf_row,
 world_face)``:
 
+Rows are FACE-MAJOR (``row = face * cells + cell``; cell = per-instance
+base + leaf_row): the surfel pass enumerates rows in order, and a face-
+major pool gives every lockstep ray tile one face (coherent hemisphere,
+tile-uniform NEE facing — measured in tools/surfel_sim.py).
+
 * **get** is one narrow gather from a ~MB-scale table (fast),
 * **insert** is *elementwise*: the surfel pool in dense mode IS the cell
   list, so every cell updates its own row — no scatter, no sort, no
@@ -49,23 +54,33 @@ __all__ = [
     "DenseGICache", "make_dense_gi_cache", "dense_rows", "dense_cells",
     "cell_layout", "dense_index", "dense_get", "dense_update",
     "dense_update_slice", "pack_working_set", "MAX_SAMPLE_COUNT",
+    "padded_cells",
 ]
 
 MAX_SAMPLE_COUNT = 404  # spatial_hash.glsl:179
 
-# Cache rows are padded to a multiple of this so the table's leading axis
-# divides evenly over any power-of-two device mesh (and over the Pallas
-# 8x128 ray blocks): the multi-chip path shards the table BY ROW RANGE —
-# each device updates its 1/N of the rows elementwise (zero-collective
-# insert) and readers pay one small all-gather instead of the old
-# full-table all-reduce merge (ARCHITECTURE.md v5e-8 Amdahl analysis).
-# lcm(6, 1024): also divisible by the 6-faces-per-cell expansion, so the
-# padded table length maps back to a whole number of padded cells.
-ROW_PAD = 3072
+# Cache CELLS are padded to a multiple of this so the table's leading
+# axis (6 * cells, face-major) divides evenly over any power-of-two
+# device mesh (and over the Pallas 8x128 ray blocks): the multi-chip
+# path shards the table BY ROW RANGE — each device updates its 1/N of
+# the rows elementwise (zero-collective insert) and readers pay one
+# small all-gather instead of the old full-table all-reduce merge
+# (ARCHITECTURE.md v5e-8 Amdahl analysis).
+#
+# Row layout is FACE-MAJOR: ``row = face * cells + cell``. The surfel
+# pass enumerates the pool in row order, so face-major makes every
+# 1024-ray Pallas tile a run of consecutive hierarchy-order cells of
+# ONE world face — a coherent cosine hemisphere, and (the measured win,
+# tools/surfel_sim.py) tile-uniform sun-NEE facing: 83/171 canonical
+# shadow tiles become entirely dead and skip the march loop outright
+# (cell-major: 0 dead tiles, every tile mixed 6 faces).
+CELL_PAD = 512
 
 
-def padded_rows(n: int) -> int:
-    return -(-n // ROW_PAD) * ROW_PAD
+def padded_cells(n: int) -> int:
+    """Smallest STRICTLY larger CELL_PAD multiple — ≥1 padding cell so
+    the routing row (last row of the table) is never a real cell."""
+    return (n // CELL_PAD + 1) * CELL_PAD
 
 
 def _f16_bits(x):
@@ -115,35 +130,43 @@ def cell_layout(scene) -> tuple[tuple, tuple, int]:
     return tuple(bases), caps, b
 
 
-def dense_rows(scene) -> int:
-    """Static cache row count (= table length, ROW_PAD-padded) for a
-    DeviceScene. The padding tail holds zero rows; dense_index also
-    routes leaf rows past the pinned cell caps there (count 0 ->
-    found=False)."""
-    from dust_tpu.render.scene import pad_rows_past_dead_zone
-    _, _, total = cell_layout(scene)
-    return padded_rows(pad_rows_past_dead_zone(padded_rows(total * 6)))
-
-
 def dense_cells(scene) -> int:
     """Cache length in CELLS (rows / 6) — the padded cell-list length
     the surfel pass and working-set enumeration must use to stay
-    row-aligned with the table."""
-    return dense_rows(scene) // 6
+    row-aligned with the (face-major) table. Padded so the ×6 row count
+    clears the gather emitter's dead zone (render/scene.py note)."""
+    from dust_tpu.render.scene import pad_rows_past_dead_zone
+    _, _, total = cell_layout(scene)
+    c = padded_cells(total)
+    while True:
+        c2 = -(-pad_rows_past_dead_zone(c * 6) // 6)
+        if c2 == c:
+            return c
+        c = padded_cells(c2 - 1)
+
+
+def dense_rows(scene) -> int:
+    """Static cache row count (= table length, 6 × padded cells,
+    face-major ``row = face * cells + cell``). The padding holds zero
+    rows; dense_index also routes leaf rows past the pinned cell caps
+    there (count 0 -> found=False)."""
+    return dense_cells(scene) * 6
 
 
 def _albedo_words(scene) -> jnp.ndarray:
     """Per-(instance, leaf, face) albedo word — 6 faces share the leaf's
-    average albedo (R10G10B10A2). Padded with zeros to dense_rows."""
+    average albedo (R10G10B10A2). Face-major: the per-cell column tiles
+    6× (a broadcast, not the scalar-path ``jnp.repeat``). Padded with
+    zeros to dense_cells."""
     _, caps, _ = cell_layout(scene)
     parts = [scene.avg_albedo[m, :caps[i]]
              for i, m in enumerate(scene.inst_model)]
     alb = jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint32)
-    alb6 = jnp.repeat(alb, 6).astype(jnp.uint32)
-    pad = dense_rows(scene) - alb6.shape[0]
+    alb = alb.astype(jnp.uint32)
+    pad = dense_cells(scene) - alb.shape[0]
     if pad:
-        alb6 = jnp.concatenate([alb6, jnp.zeros(pad, jnp.uint32)])
-    return alb6
+        alb = jnp.concatenate([alb, jnp.zeros(pad, jnp.uint32)])
+    return jnp.broadcast_to(alb[None, :], (6, alb.shape[0])).reshape(-1)
 
 
 def make_dense_gi_cache(scene) -> DenseGICache:
@@ -194,8 +217,9 @@ def dense_index(scene, inst: jnp.ndarray, row: jnp.ndarray,
     cap = jnp.asarray(caps, jnp.int32)[i]
     r = jnp.maximum(row, 0)
     f = jnp.clip(face, 0, 5)
-    idx = (base + jnp.minimum(r, cap - 1)) * 6 + f
-    return jnp.where(r < cap, idx, dense_rows(scene) - 1)
+    cells = dense_cells(scene)
+    idx = f * cells + base + jnp.minimum(r, cap - 1)
+    return jnp.where(r < cap, idx, cells * 6 - 1)
 
 
 def dense_get(cache: DenseGICache, idx: jnp.ndarray, valid: jnp.ndarray):

@@ -37,7 +37,7 @@ def replicate_scene(scene, mesh: Mesh):
 def shard_frame_state(state, mesh: Mesh):
     """Place frame state for the multi-chip step: per-pixel denoiser
     history sharded by image rows; the DENSE GI cache sharded by row
-    range (its rows are ROW_PAD-aligned with the surfel cell list, so
+    range (its rows are CELL_PAD×6-aligned with the surfel cell list, so
     each device refreshes its own slice with zero insert collectives —
     readers pay one small table all-gather); everything else (spatial
     hash, scalars) replicated — hash updates are applied identically on

@@ -276,6 +276,7 @@ class SceneEditor:
         gi_rows = gi_alb = None
         if dense or ws is not None:
             cbases, ccaps, _ = gilib.cell_layout(self.device)
+            Cd = gilib.dense_cells(self.device)
             per_model = {m: [i for i, im in enumerate(inst_model) if im == m]
                          for m in set(models.tolist())}
             width = max(len(v) for v in per_model.values()) * 6
@@ -285,7 +286,7 @@ class SceneEditor:
                 # Rows past an instance's pinned cell cap have no cache
                 # cell (dense_index routes them to the padding tail) —
                 # skip them here too.
-                cells = [(cbases[i] + int(rows[k])) * 6 + f
+                cells = [f * Cd + cbases[i] + int(rows[k])
                          for i in per_model[int(models[k])]
                          if int(rows[k]) < ccaps[i] for f in range(6)]
                 gi_rows[k, :len(cells)] = cells

@@ -448,10 +448,13 @@ def render_frame(
             centers_w, vleaf = _cell_enumeration(scene)
             cellq = jnp.trunc(
                 centers_w / settings.spatial_hash.cell_size).astype(jnp.int32)
-            qpos6 = jnp.repeat(cellq, 6, axis=0)
-            face6 = jnp.tile(jnp.arange(6, dtype=jnp.int32),
-                             centers_w.shape[0])
-            valid6 = jnp.repeat(vleaf, 6)
+            # Face-major, row-aligned with the gi_cache layout (the
+            # packed working set is read through dense_index).
+            Cw = centers_w.shape[0]
+            qpos6 = jnp.tile(cellq, (6, 1))
+            face6 = jnp.broadcast_to(
+                jnp.arange(6, dtype=jnp.int32)[:, None], (6, Cw)).reshape(-1)
+            valid6 = jnp.tile(vleaf, 6)
             nslices = settings.spatial_hash.ws_refresh_slices
             if nslices > 1 and state.gi_ws is not None:
                 # Rotating re-probe: only 1/N of the working set pays the
@@ -551,10 +554,17 @@ def render_frame(
             # normals are world-space cube faces, exactly surfel.rgen's
             # geometry.
             centers_w, vleaf = _cell_enumeration(scene)
-            surfel_pos = jnp.repeat(centers_w, 6, axis=0)
-            surfel_dir = jnp.tile(jnp.arange(6, dtype=jnp.int32),
-                                  centers_w.shape[0])
-            s_valid = jnp.repeat(vleaf, 6)
+            # Face-major pool (row = face*cells + cell, the gi_cache row
+            # layout): each 1024-ray tile is ~one face over consecutive
+            # hierarchy-order cells — coherent cosine hemisphere, and
+            # sun-NEE dead tiles skip the march whole (surfel_sim.py:
+            # 83/171 canonical NEE tiles dead vs 0 cell-major). tile/
+            # broadcast also avoids jnp.repeat's scalar relayout path.
+            C = centers_w.shape[0]
+            surfel_pos = jnp.tile(centers_w, (6, 1))
+            surfel_dir = jnp.broadcast_to(
+                jnp.arange(6, dtype=jnp.int32)[:, None], (6, C)).reshape(-1)
+            s_valid = jnp.tile(vleaf, 6)
             # Refresh-budget cap (SurfelSettings.dense_refresh_budget):
             # big scenes patch a rotating contiguous slice per frame so
             # the surfel-pass ray count stays fixed like the reference's
