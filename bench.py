@@ -129,12 +129,12 @@ def main():
     elif args.config == "hash-reference":
         args.gi_cache = "hash"
         # The reference's hash is 1<<25 entries (640 MB at 20 B/entry,
-        # spatial_hash.glsl:1). Our 16 B rows at 1<<25 (512 MB) exceed
-        # the memory headroom on this machine's tunnelled v5e once the
-        # frame's temporaries join it, so the recorded config is 1<<24
-        # (measured 30.5 Mrays/s, 295 ms/frame at 1080p); pass
-        # --hash-capacity to override.
-        args.hash_capacity = args.hash_capacity or (1 << 24)
+        # spatial_hash.glsl:1). Our 16 B rows at 1<<25 are 512 MB; the
+        # round-3 note that this "exceeds memory headroom" was stale —
+        # tools/hash_mem_probe.py runs the full 1080p hash frame at
+        # 1<<25 on the v5e (round 4), so the recorded config now
+        # matches the reference capacity exactly.
+        args.hash_capacity = args.hash_capacity or (1 << 25)
 
     if args.cpu:
         import jax

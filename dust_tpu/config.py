@@ -81,8 +81,9 @@ class DenoiserSettings:
     # bfloat16: halves the 8-shifted-reads-per-iteration HBM traffic of
     # the filter loop. Weight math stays f32; bf16's ~0.4% quantisation
     # only perturbs edge-stopping weights (gated by the ground-truth
-    # RMSE tests).
-    atrous_guide_bf16: bool = False
+    # RMSE tests). Default ON since round 4: RMSE vs the converged GT
+    # measured IDENTICAL to the f32 guide.
+    atrous_guide_bf16: bool = True
     # Denoise the stochastic indirect (AO/final-gather/skylight) channel
     # at half resolution with a joint-bilateral upsample, compositing the
     # deterministic sun-NEE direct term at full resolution. Deviation

@@ -132,20 +132,28 @@ def sky_radiance(state: SkyModelState, dirs: jnp.ndarray) -> jnp.ndarray:
     the horizon (the reference's NaN guard)."""
     cos_theta = jnp.clip(dirs[..., 1], 0.0, 1.0)
     cos_gamma = jnp.clip(jnp.sum(dirs * state.direction, axis=-1), -1.0, 1.0)
+    # gamma stays f32: near the sun disc 1-cos_gamma is tiny and
+    # arccos amplifies a bf16 cos_gamma's quantisation into a visibly
+    # wrong aureole. Everything PAST the arccos runs in bf16 — the
+    # model is smooth there and the output feeds an RGB9E5 history /
+    # 8-bit tonemap; ~2x on the exp/sqrt/div VPU chain at 2M rays.
     gamma = jnp.arccos(cos_gamma)
+    bf = jnp.bfloat16
+    ct = cos_theta.astype(bf)
+    cg = cos_gamma.astype(bf)
 
-    c = state.configs  # (3, 9)
-    exp_m = jnp.exp(c[:, 4] * gamma[..., None])
-    ray_m = (cos_gamma * cos_gamma)[..., None]
+    c = state.configs.astype(bf)  # (3, 9)
+    exp_m = jnp.exp(c[:, 4] * gamma.astype(bf)[..., None])
+    ray_m = (cg * cg)[..., None]
     # d^1.5 written as d*sqrt(d): jnp.power lowers to exp(1.5*log(d)) on
     # the VPU, ~3x the cost of a sqrt+mul at identical precision.
-    mie_d = 1.0 + c[:, 8] ** 2 - 2.0 * c[:, 8] * cos_gamma[..., None]
+    mie_d = 1.0 + c[:, 8] ** 2 - 2.0 * c[:, 8] * cg[..., None]
     mie = (1.0 + ray_m) / (mie_d * jnp.sqrt(mie_d))
-    zenith = jnp.sqrt(cos_theta)[..., None]
+    zenith = jnp.sqrt(ct)[..., None]
     xyz = (
-        (1.0 + c[:, 0] * jnp.exp(c[:, 1] / (cos_theta[..., None] + 0.01)))
+        (1.0 + c[:, 0] * jnp.exp(c[:, 1] / (ct[..., None] + 0.01)))
         * (c[:, 2] + c[:, 3] * exp_m + c[:, 5] * ray_m + c[:, 6] * mie + c[:, 7] * zenith)
-    ) * state.radiances
+    ).astype(jnp.float32) * state.radiances
     xyz = xyz * 683.0
     out = colorlib.xyz_to_acescg(xyz, xp=jnp)
     sun_up = state.direction[1] > 0
