@@ -179,6 +179,11 @@ def _fetch_history(history: jnp.ndarray, xy: jnp.ndarray):
     downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
     quad = jnp.concatenate([history, right, down, downright],
                            axis=-1).reshape(h * w, 4 * _C)
+    # (Row-padding the quad past the 524288-row emitter boundary wins
+    # 3.5 ms in isolation — tools/history_gather_probe.py — but measured
+    # NEUTRAL in the real frame (54.9 vs 55.1 ms): the in-frame gather
+    # is emitted against this column-minor fused producer, a different
+    # emitter than the probe's standalone row-major table.)
     # Force ONE materialisation: XLA otherwise risks rematerialising the
     # 48 B/px array into each consumer (measured on the old pair layout).
     quad = jax.lax.optimization_barrier(quad)
