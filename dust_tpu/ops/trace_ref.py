@@ -37,11 +37,19 @@ def dda_leaf(origin, direction, mask: int, t_min: float, t_max: float):
     p = o + d * hit_distance
     pos = np.clip(np.floor(p).astype(np.int64), 0, 3)
     step = np.sign(d)
+    # Zero direction components: the axis never steps (tmax = +inf so the
+    # axis-compare never selects it). Without the guard 1/0 = inf turns
+    # ``pos*inf - inf`` into NaN, NaN poisons every comparison and the
+    # DDA silently never advances — axis-aligned rays (e.g. sun-NEE
+    # shadow rays with the default sun's x = 0) reported misses through
+    # occupied leaves. Found by tests/test_frame_oracle.py.
+    zero = np.abs(d) < 1e-30
     with np.errstate(divide="ignore"):
-        t_coef = 1.0 / d
-    t_bias = t_coef * o
-    tmax = (pos + np.maximum(step, 0.0)) * t_coef - t_bias
-    tdelta = t_coef * step
+        t_coef = np.where(zero, np.inf, 1.0 / np.where(zero, 1.0, d))
+    t_bias = np.where(zero, 0.0, t_coef * o)
+    tmax = np.where(zero, np.inf,
+                    (pos + np.maximum(step, 0.0)) * t_coef - t_bias)
+    tdelta = np.where(zero, 0.0, t_coef * step)
 
     def enc(p):
         return (int(p[0]) & 3) << 4 | (int(p[1]) & 3) << 2 | (int(p[2]) & 3)
