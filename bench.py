@@ -88,16 +88,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", choices=["pallas", "jnp"], default=None)
     ap.add_argument("--gi-cache", choices=["dense", "hash"], default="dense")
-    ap.add_argument("--fg-sort", action="store_true",
-                    help="octant-group the cosine STBN per kernel tile "
-                    "(FG ray-coherence experiment; see "
-                    "RenderSettings.fg_octant_sort)")
     ap.add_argument("--bf16-guide", action="store_true",
                     help="store the a-trous guide pack in bfloat16 "
                     "(DenoiserSettings.atrous_guide_bf16)")
-    ap.add_argument("--fuse-gi", action="store_true",
-                    help="fused AO+FG walk (measured 2.5 ms slower than "
-                    "split at 1080p; kept for tuning)")
     ap.add_argument("--hash-capacity", type=int, default=None,
                     help="spatial-hash capacity for --gi-cache hash "
                     "(reference scale: 1<<25 = 32Mi entries)")
@@ -175,8 +168,6 @@ def main():
                                pool_refresh_budget=args.pool_budget),
         traversal_backend=args.backend or ("pallas" if not args.cpu else "jnp"),
         gi_cache=args.gi_cache,
-        fuse_ao_fg=args.fuse_gi,
-        fg_octant_sort=args.fg_sort,
         contribution_secondary_spatial_hash=not direct_only,
         contribution_secondary_skylight=not direct_only,
         contribution_secondary_sunlight=not direct_only,
@@ -194,8 +185,7 @@ def main():
     sky = bake_sky(settings.sunlight)
     bn = load_blue_noise()
     base_o2w = np.array(scene.obj_to_world)
-    bn_cos = bn.unitvec3_cosine_octsorted if args.fg_sort else \
-        bn.unitvec3_cosine
+    bn_cos = bn.unitvec3_cosine
     # The reference's canonical camera pose (examples/castle.rs:126-128).
     eye = (260.0, 420.0, 180.0) if args.config == "stress" else \
         (122.0, 300.61, 54.45)

@@ -224,13 +224,12 @@ class RenderSettings:
     # "pallas" (hand-written Mosaic kernel).
     traversal_backend: str = "jnp"
 
-    # Fuse the AO + final-gather traversals into one Pallas walk (they
-    # continue the same cosine ray; ambient_occlusion.rgen +
-    # final_gather.rgen). In-frame the FG leg dominates trace time
-    # (incoherent long rays), so sharing its march with AO saves a full
-    # dispatch + the shared descent. Pallas single-chip only; ignored
-    # elsewhere.
-    fuse_ao_fg: bool = False
+    # (A fuse_ao_fg flag fusing the AO + final-gather walks into one
+    # Pallas dispatch shipped rounds 2-4; measured 2.5 ms SLOWER than
+    # the split passes at 1080p — per-round fixed costs over the union
+    # round count — and pruned in round 5. The ao_fg kernel mode itself
+    # remains: the reference-parity sun-shadow path is built on it.
+    # Measurement record: ARCHITECTURE.md "perf non-wins".)
 
     # Per-instance material TYPE ids (() = all palette). Static by
     # design: the set of materials specializes the traced pipeline the
@@ -239,14 +238,12 @@ class RenderSettings:
     # render/materials.py for the registry + dispatch.
     instance_materials: tuple = ()
 
-    # FG/AO ray-coherence experiment: expect the cosine blue-noise table
-    # to be octant-grouped per 8x128 tile region
-    # (noise.octant_sort_regions / BlueNoise.unitvec3_cosine_octsorted —
-    # callers must pass that table) and quantise the per-frame noise
-    # roll so regions stay tile-aligned. Groups each lockstep kernel
-    # tile's GI directions into octant runs at zero runtime cost, at the
-    # price of per-pixel temporal STBN blueness (shuffled-blue).
-    fg_octant_sort: bool = False
+    # (An fg_octant_sort ray-coherence experiment — octant-grouping the
+    # cosine STBN per kernel tile region — shipped rounds 4; measured
+    # ~neutral in-frame (the FG tile max is path-length-bound, not
+    # direction-bound, tools/march_sim.py) and pruned in round 5. The
+    # page-sort helper lives on in noise.octant_sort_regions for the
+    # simulator; measurement record: ARCHITECTURE.md round-4 section.)
 
     # GI cache backend: "hash" = the reference's open-addressed spatial
     # hash + stochastic surfel pool (unbounded scenes); "dense" = one row

@@ -46,20 +46,6 @@ class BlueNoise:
         self.unitvec3 = unitvec3                # (...,3) encoded *0.5+0.5
         self.unitvec3_cosine = unitvec3_cosine  # (...,3) encoded *0.5+0.5
 
-    @property
-    def unitvec3_cosine_octsorted(self) -> jnp.ndarray:
-        """Octant-grouped view of the cosine table for the FG-coherence
-        experiment (see :func:`octant_sort_regions`); pair with
-        ``RenderSettings.fg_octant_sort=True``. PAGE-level sort: each
-        8x128 band of a layer then holds one contiguous run of the
-        octant order, so a kernel tile samples one octant neighbourhood
-        (a within-tile sort would merely permute values inside the same
-        tile — measured no-op, tools/march_sim.py). Cached."""
-        if getattr(self, "_cos_sorted", None) is None:
-            self._cos_sorted = octant_sort_regions(
-                self.unitvec3_cosine, rows=SIZE, cols=SIZE)
-        return self._cos_sorted
-
     def sample(self, table: jnp.ndarray, pix_xy: jnp.ndarray, frame_index,
                offset=(0, 0), rand=0) -> jnp.ndarray:
         """texelFetch(blue_noise[v], (pix + offset + rand) % 128, layer).

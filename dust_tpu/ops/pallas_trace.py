@@ -443,7 +443,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
     hit_row = jnp.full(shape, -1, jnp.int32)
     hit_bit = jnp.full(shape, -1, jnp.int32)
 
-    def march(active, s):
+    def march(active, s, w0, w1, reg_cl):
         """Walk L1/L2 until every active ray freezes on an occupied
         block or dies. Loop-carried masks are int32 0/1 — Mosaic
         cannot yield i1 vectors from scf loops.
@@ -451,9 +451,13 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         The two L2 words of the L1 cell a ray is inside are carried in
         registers (cell-grouped word layout); the expensive chunked
         gather runs only on iterations where some ray enters a new
-        occupied cell.
+        occupied cell. ``w0/w1/reg_cl`` are carried ACROSS rounds
+        (round-5): a ray resuming after a micro miss usually re-enters
+        the march inside the SAME cell (a block is a quarter of a
+        cell), and before the carry every round's first iteration paid
+        the full 2x4-chunk refresh for every active lane.
 
-        Returns (active, s, cand, w0, w1): candidate block/word
+        Returns (active, s, cand, w0, w1, reg_cl): candidate block/word
         details are NOT carried through the loop — a frozen ray's s
         stays at its freeze sample, so :func:`cand_info` recomputes
         them once post-march (bit-identical expressions). That keeps
@@ -461,9 +465,6 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         vector register file spills past ~13) and drops 7 masked
         selects per iteration."""
         cand = jnp.zeros(shape, jnp.bool_)
-        w0 = jnp.zeros(shape, jnp.int32)
-        w1 = jnp.zeros(shape, jnp.int32)
-        reg_cl = jnp.full(shape, -1, jnp.int32)
 
         def cond(st):
             active_i, s, cand_i, i = st[0], st[1], st[2], st[-1]
@@ -590,7 +591,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
               w0, w1, reg_cl, jnp.int32(0))
         st = jax.lax.while_loop(cond, _compose(body, _MARCH_UNROLL), st)
-        return st[0] != 0, st[1], st[2] != 0, st[3], st[4]
+        return st[0] != 0, st[1], st[2] != 0, st[3], st[4], st[5]
 
     def cand_info(s, w0, w1):
         """Candidate block/word details for frozen rays, recomputed
@@ -619,9 +620,10 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         a rough freeze is final, so the round stores (word, widx,
         bit) and ONE rank gather after the outer loop replaces the
         2x4-chunk gathers every round would pay."""
-        active_i, s, hit_s, hit_widx, hit_bitc, hit_word, rnd = rstate
+        (active_i, s, hit_s, hit_widx, hit_bitc, hit_word,
+         w0, w1, reg_cl, rnd) = rstate
         active = active_i != 0
-        active, s, cand, w0, w1 = march(active, s)
+        active, s, cand, w0, w1, reg_cl = march(active, s, w0, w1, reg_cl)
         cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
         fx = cbx.astype(jnp.float32) * 4.0
@@ -640,12 +642,12 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
                       jnp.maximum(blk_out, s + _STEP_EPS), s)
         active = active & (s < s_end)
         return (active.astype(jnp.int32), s, hit_s, hit_widx, hit_bitc,
-                hit_word, rnd + jnp.int32(1))
+                hit_word, w0, w1, reg_cl, rnd + jnp.int32(1))
 
     def round_body(rstate):
-        active_i, s, hit_s, hit_row, hit_bit, rnd = rstate
+        active_i, s, hit_s, hit_row, hit_bit, w0, w1, reg_cl, rnd = rstate
         active = active_i != 0
-        active, s, cand, w0, w1 = march(active, s)
+        active, s, cand, w0, w1, reg_cl = march(active, s, w0, w1, reg_cl)
         cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
         # Leaf row from the rank tables + in-word popcount.
@@ -761,7 +763,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         s = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS), s)
         active = active & (s < s_end) & ~(cand & jnp.isfinite(hit_s))
         return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                rnd + jnp.int32(1))
+                w0, w1, reg_cl, rnd + jnp.int32(1))
 
     def round_body_fused(rstate):
         """AO + final gather in one walk. Candidate dispatch:
@@ -772,9 +774,9 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         3. block fully past s_ao       -> rough: hit at block entry
            if it is >= s_ao (the split FG pass rejects straddling
            blocks the same way), else skip past."""
-        active_i, s, ao_t, fg_t, fg_row, rnd = rstate
+        active_i, s, ao_t, fg_t, fg_row, w0, w1, reg_cl, rnd = rstate
         active = active_i != 0
-        active, s, cand, w0, w1 = march(active, s)
+        active, s, cand, w0, w1, reg_cl = march(active, s, w0, w1, reg_cl)
         cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
         ccl = jnp.where(cand, cwidx >> 1, 0)
@@ -892,21 +894,28 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             (active.astype(jnp.int32), s, ao_t))
         active = (active_i2 != 0) & (s < s_end)
         return (active.astype(jnp.int32), s, ao_t, fg_t, fg_row,
-                rnd + jnp.int32(1))
+                w0, w1, reg_cl, rnd + jnp.int32(1))
 
     def round_cond(rstate):
         return jnp.any(rstate[0] != 0) & (rstate[-1] < rounds)
 
+    # Cross-round cell-register carry (see march): w0/w1 start dead with
+    # reg_cl = -1 so the first entry into an occupied cell refreshes.
+    cw0 = jnp.zeros(shape, jnp.int32)
+    cw1 = jnp.zeros(shape, jnp.int32)
+    ccl0 = jnp.full(shape, -1, jnp.int32)
+
     if fused:
         rstate = (active.astype(jnp.int32), s, hit_s,
                   jnp.full(shape, jnp.inf, jnp.float32), hit_row,
-                  jnp.int32(0))
+                  cw0, cw1, ccl0, jnp.int32(0))
         rstate = jax.lax.while_loop(round_cond, round_body_fused, rstate)
         return rstate[2], rstate[3], rstate[4]  # ao_t, fg_t, fg_row
 
     if mode == "rough":
         rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                  jnp.zeros(shape, jnp.int32), jnp.int32(0))
+                  jnp.zeros(shape, jnp.int32), cw0, cw1, ccl0,
+                  jnp.int32(0))
         rstate = jax.lax.while_loop(round_cond, round_body_rough, rstate)
         hit_s, hit_widx, hit_bitc, hit_word = (rstate[2], rstate[3],
                                                rstate[4], rstate[5])
@@ -923,7 +932,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         hit_bit = jnp.full(shape, -1, jnp.int32)
     else:
         rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                  jnp.int32(0))
+                  cw0, cw1, ccl0, jnp.int32(0))
         rstate = jax.lax.while_loop(round_cond, round_body, rstate)
         hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
 

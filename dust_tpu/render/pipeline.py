@@ -276,20 +276,16 @@ def render_frame(
     origins = jnp.broadcast_to(cam.position, (n, 3))
     layer = frame_index % bn_cosine.shape[0]
 
-    def bn_fetch(table, offset, quant_rows=1):
+    def bn_fetch(table, offset):
         """Noise value per pixel: ``table[layer, (py+oy+rand)%S, (px+ox+
         rand)%S]``. The pattern is the layer tiled periodically with a
         shift, so instead of a 2M-element gather (+ a whole-table VMEM
         prefetch, ~30 ms/frame measured) it is a dynamic-slice + roll +
-        tile — pure data movement. ``quant_rows``: quantise the y-roll
-        so octant-sorted 8-row regions stay aligned with the kernel's
-        pixel tiles (fg_octant_sort)."""
+        tile — pure data movement."""
         th, tw = table.shape[1], table.shape[2]
         page = jax.lax.dynamic_index_in_dim(table, layer, axis=0,
                                             keepdims=False)
         sy = (offset[1] + rand) % th
-        if quant_rows > 1:
-            sy = (sy // quant_rows) * quant_rows
         page = jnp.roll(page, shift=(-sy, -(offset[0] + rand) % tw),
                         axis=(0, 1))
         reps_y, reps_x = -(-H // th), -(-W // tw)
@@ -366,9 +362,7 @@ def render_frame(
     # Cosine GI direction, shared by AO and final gather (both passes fetch
     # blue_noise[5] with offset (7,183): ambient_occlusion.rgen:27,
     # final_gather.rgen:31).
-    cos_sample = bn_fetch(
-        bn_cosine, (7, 183),
-        quant_rows=8 if settings.fg_octant_sort else 1) * 2.0 - 1.0
+    cos_sample = bn_fetch(bn_cosine, (7, 183)) * 2.0 - 1.0
     gi_dir = pk.rotate_vector_by_normal(normal, cos_sample)
     gi_dir = jnp.where(hit[:, None], gi_dir, jnp.asarray([0.0, 1.0, 0.0]))
 
@@ -382,14 +376,10 @@ def render_frame(
     gi_enabled = (settings.contribution_secondary_spatial_hash
                   or settings.contribution_secondary_skylight
                   or settings.debug_visualize_spatial_hash)
-    # Note: a fused AO+FG kernel exists (pallas_trace.trace_scene_pallas_
-    # ao_fg, oracle-tested) and is selectable below — but it measures
-    # SLOWER than the split passes on both synthetic and real in-frame
-    # rays (75.3 vs 72.8 ms/frame at 1080p): the union walk pays the
-    # per-round fixed costs (rank gathers, scalar syncs, fatter
-    # dispatch) over the combined round count, while the split kernels
-    # run slimmer bodies and share only the t=thr descent.
-    fused_gi = settings.fuse_ao_fg and use_pallas and ray_sharding is None
+    # (A fused AO+FG cosine walk — trace_scene_pallas_ao_fg on the GI
+    # ray — was selectable through round 4; measured 2.5 ms SLOWER than
+    # the split passes at 1080p and pruned. The kernel mode survives for
+    # the reference sun-shadow path above. Record: ARCHITECTURE.md.)
     if not gi_enabled:
         # Primary+shadow configuration: no AO/FG/surfel dispatches exist
         # (CONTRIBUTION_* parity, see above).
@@ -399,17 +389,6 @@ def render_frame(
         radiance_img = jnp.where(hit[:, None], direct + illum, sky_out)
         surfels = state.surfels
         new_gi = state.gi
-    elif fused_gi:
-        # One walk for the shared cosine ray: AO below the threshold,
-        # rough FG past it, FG gated on AO escape inside the kernel
-        # (trace_scene_pallas_ao_fg; oracle-tested vs the split pair).
-        from dust_tpu.ops.pallas_trace import trace_scene_pallas_ao_fg
-        ao, fg = trace_scene_pallas_ao_fg(
-            scene, hit_loc, gi_dir, 0.1,
-            jnp.where(hit, thr, -1.0), jnp.where(hit, cam.far, -1.0))
-        ao_hit = ao.hit
-        fg_active = hit & ~ao_hit
-        fg_hit = fg_active & fg.hit
     else:
         ao = trace(scene, hit_loc, gi_dir, 0.1, jnp.where(hit, thr, -1.0),
                    "ao_threshold")
@@ -619,7 +598,7 @@ def render_frame(
             s_normal = pk.face_id_to_normal(jnp.minimum(surfel_dir, 5))
         s_origin = surfel_pos + 2.01 * s_normal
 
-        def bn_fetch_pool(table, offset, quant_rows=1):
+        def bn_fetch_pool(table, offset):
             """Noise per pool slot (slot i <-> texel (i%W, i//W % H), the
             surfel.rgen flat-launch mapping): like bn_fetch, the pattern
             is the rolled layer tiled periodically — roll + tile + slice
@@ -628,16 +607,12 @@ def render_frame(
             page = jax.lax.dynamic_index_in_dim(table, layer, axis=0,
                                                 keepdims=False)
             sy = (offset[1] + rand) % th
-            if quant_rows > 1:
-                sy = (sy // quant_rows) * quant_rows
             page = jnp.roll(page, shift=(-sy, -(offset[0] + rand) % tw),
                             axis=(0, 1))
             reps = -(-p // (th * tw))
             return jnp.tile(page.reshape(th * tw, -1), (reps, 1))[:p]
 
-        s_cos = bn_fetch_pool(
-            bn_cosine, (16, 47),
-            quant_rows=8 if settings.fg_octant_sort else 1) * 2.0 - 1.0
+        s_cos = bn_fetch_pool(bn_cosine, (16, 47)) * 2.0 - 1.0
         s_dir = pk.rotate_vector_by_normal(s_normal, s_cos)
 
         s_payload = jnp.zeros((p, 3))

@@ -164,12 +164,15 @@ class TestNoise:
         assert abs(v[:, 2].mean() - 2.0 / 3.0) < 0.02
 
     def test_octant_sort_regions(self):
-        """fg_octant_sort's static table transform: every 8x128 region of
-        every layer keeps its exact texel multiset (the sampler stays a
-        cosine-hemisphere estimator) and becomes octant-grouped (runs of
-        equal (sign x, sign y) keys)."""
+        """octant_sort_regions (the march_sim coherence tool; the
+        shipping fg_octant_sort flag was pruned in round 5 as a measured
+        ~neutral): every page of every layer keeps its exact texel
+        multiset and becomes octant-grouped (runs of equal
+        (sign x, sign y) keys)."""
+        from dust_tpu.ops.noise import octant_sort_regions
         bn = load_blue_noise()
-        srt = np.array(bn.unitvec3_cosine_octsorted)  # page-level sort
+        srt = np.array(octant_sort_regions(
+            bn.unitvec3_cosine, rows=SIZE, cols=SIZE))  # page-level sort
         orig = np.array(bn.unitvec3_cosine)
         for li in (0, 31):
             for y0 in (0,):

@@ -62,24 +62,6 @@ class TestRenderFrame:
         # Surfels got scheduled.
         assert int((np.array(state.surfels[:, 3]) < 6).sum()) > 0
 
-    def test_fg_octant_sort_smoke(self, setup):
-        """fg_octant_sort (octant-grouped cosine table + quantised noise
-        rolls) renders a finite, plausible frame; the estimator is the
-        same cosine-hemisphere sampler so statistics stay close."""
-        import dataclasses
-        settings, scene, sky, bn, cs = setup
-        s2 = dataclasses.replace(settings, fg_octant_sort=True)
-        state = make_frame_state(s2)
-        out = None
-        for _ in range(2):
-            out, _aux, state = render_frame(
-                scene, state, cs, sky, bn.unitvec3_cosine_octsorted,
-                bn.scalar, s2, tile=2048)
-        o = np.array(out)
-        assert np.isfinite(o).all()
-        assert 0.0 <= o.min() and o.max() <= 1.0
-        assert o.std() > 0.05
-
     def test_gbuffer_contents(self, setup):
         settings, scene, sky, bn, cs = setup
         state = make_frame_state(settings)
