@@ -423,6 +423,14 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
     ao_threshold semantics apply (entry-report quirk included), past it
     the rough semantics (hit = block entry)."""
     fused = mode == "ao_fg"
+    # Cross-round cell-register carry (round-5): long walks resume after
+    # a micro miss inside the SAME cell (a block is a quarter of a
+    # cell), so carrying (w0, w1, rank0, rank1, reg_cl) across rounds
+    # deletes both the every-round full refresh AND the per-round rank
+    # pair gather. Per-mode: the short ao_threshold walks measured
+    # 2.25 -> 3.68 ms WITH the carry (no reuse, pure register
+    # pressure); primary measured 8.68 -> 8.24 with the w-carry alone.
+    carry = mode in ("precise", "ao_fg")
     shape = ox.shape
     rx, ry, rz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
     sx = jnp.where(dx > 0, 1, -1).astype(jnp.int32)
@@ -443,7 +451,7 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
     hit_row = jnp.full(shape, -1, jnp.int32)
     hit_bit = jnp.full(shape, -1, jnp.int32)
 
-    def march(active, s, w0, w1, reg_cl):
+    def march(active, s, w0, w1, rr0, rr1, reg_cl):
         """Walk L1/L2 until every active ray freezes on an occupied
         block or dies. Loop-carried masks are int32 0/1 — Mosaic
         cannot yield i1 vectors from scf loops.
@@ -471,7 +479,11 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             return jnp.any((active_i != 0) & (cand_i == 0)) & (i < march_cap)
 
         def body(st):
-            (active_i, s, cand_i, w0, w1, reg_cl, i) = st
+            if carry:
+                (active_i, s, cand_i, w0, w1, rr0, rr1, reg_cl, i) = st
+            else:
+                (active_i, s, cand_i, w0, w1, reg_cl, i) = st
+                rr0 = rr1 = None
             active = active_i != 0
             cand = cand_i != 0
             stepping = active & ~cand
@@ -498,17 +510,37 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             # ~120-cycle scalar sync of the gate.
             need = occ1 & (cl != reg_cl)
 
-            def refresh(args):
-                w0, w1, reg_cl = args
-                clm = jnp.where(need, cl, 0)
-                nw0, nw1 = _gather_chunked_pair(l2w0_ref, l2w1_ref, clm, 4,
-                                                base=l2_base)
-                return (jnp.where(need, nw0, w0),
-                        jnp.where(need, nw1, w1),
-                        jnp.where(need, cl, reg_cl))
+            if carry:
+                # Rank words ride in the SAME shared-predicate walk
+                # (4 refs cost ~1.5x the pair, and the per-round rank
+                # gather in the round body disappears entirely).
+                def refresh(args):
+                    w0, w1, rr0, rr1, reg_cl = args
+                    clm = jnp.where(need, cl, 0)
+                    nw0, nw1, nr0, nr1 = _gather_chunked_multi(
+                        (l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref), clm, 4,
+                        base=l2_base)
+                    return (jnp.where(need, nw0, w0),
+                            jnp.where(need, nw1, w1),
+                            jnp.where(need, nr0, rr0),
+                            jnp.where(need, nr1, rr1),
+                            jnp.where(need, cl, reg_cl))
 
-            w0, w1, reg_cl = jax.lax.cond(
-                jnp.any(need), refresh, lambda a: a, (w0, w1, reg_cl))
+                w0, w1, rr0, rr1, reg_cl = jax.lax.cond(
+                    jnp.any(need), refresh, lambda a: a,
+                    (w0, w1, rr0, rr1, reg_cl))
+            else:
+                def refresh(args):
+                    w0, w1, reg_cl = args
+                    clm = jnp.where(need, cl, 0)
+                    nw0, nw1 = _gather_chunked_pair(
+                        l2w0_ref, l2w1_ref, clm, 4, base=l2_base)
+                    return (jnp.where(need, nw0, w0),
+                            jnp.where(need, nw1, w1),
+                            jnp.where(need, cl, reg_cl))
+
+                w0, w1, reg_cl = jax.lax.cond(
+                    jnp.any(need), refresh, lambda a: a, (w0, w1, reg_cl))
 
             # --- L2 test from registers ----------------------------
             bx = jnp.clip(jnp.floor(px * 0.25).astype(jnp.int32), 0, 63)
@@ -585,13 +617,25 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
                               s)
                 active = active & ~(adv2 & (s >= s_end))
 
+            if carry:
+                return (active.astype(jnp.int32), s,
+                        cand.astype(jnp.int32), w0, w1, rr0, rr1, reg_cl,
+                        i + jnp.int32(1))
             return (active.astype(jnp.int32), s, cand.astype(jnp.int32),
                     w0, w1, reg_cl, i + jnp.int32(1))
 
-        st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
-              w0, w1, reg_cl, jnp.int32(0))
+        if carry:
+            st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
+                  w0, w1, rr0, rr1, reg_cl, jnp.int32(0))
+        else:
+            st = (active.astype(jnp.int32), s, cand.astype(jnp.int32),
+                  w0, w1, reg_cl, jnp.int32(0))
         st = jax.lax.while_loop(cond, _compose(body, _MARCH_UNROLL), st)
-        return st[0] != 0, st[1], st[2] != 0, st[3], st[4], st[5]
+        if carry:
+            return (st[0] != 0, st[1], st[2] != 0, st[3], st[4], st[5],
+                    st[6], st[7])
+        return (st[0] != 0, st[1], st[2] != 0, st[3], st[4], rr0, rr1,
+                st[5])
 
     def cand_info(s, w0, w1):
         """Candidate block/word details for frozen rays, recomputed
@@ -620,10 +664,13 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         a rough freeze is final, so the round stores (word, widx,
         bit) and ONE rank gather after the outer loop replaces the
         2x4-chunk gathers every round would pay."""
-        (active_i, s, hit_s, hit_widx, hit_bitc, hit_word,
-         w0, w1, reg_cl, rnd) = rstate
+        active_i, s, hit_s, hit_widx, hit_bitc, hit_word, rnd = rstate
         active = active_i != 0
-        active, s, cand, w0, w1, reg_cl = march(active, s, w0, w1, reg_cl)
+        w0 = jnp.zeros(shape, jnp.int32)
+        w1 = jnp.zeros(shape, jnp.int32)
+        reg_cl0 = jnp.full(shape, -1, jnp.int32)
+        active, s, cand, w0, w1, _rr0, _rr1, _cl = march(
+            active, s, w0, w1, None, None, reg_cl0)
         cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
         fx = cbx.astype(jnp.float32) * 4.0
@@ -642,20 +689,33 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
                       jnp.maximum(blk_out, s + _STEP_EPS), s)
         active = active & (s < s_end)
         return (active.astype(jnp.int32), s, hit_s, hit_widx, hit_bitc,
-                hit_word, w0, w1, reg_cl, rnd + jnp.int32(1))
+                hit_word, rnd + jnp.int32(1))
 
     def round_body(rstate):
-        active_i, s, hit_s, hit_row, hit_bit, w0, w1, reg_cl, rnd = rstate
+        if carry:
+            (active_i, s, hit_s, hit_row, hit_bit, w0, w1, rr0, rr1,
+             reg_cl, rnd) = rstate
+        else:
+            active_i, s, hit_s, hit_row, hit_bit, rnd = rstate
+            w0 = jnp.zeros(shape, jnp.int32)
+            w1 = jnp.zeros(shape, jnp.int32)
+            rr0 = rr1 = None
+            reg_cl = jnp.full(shape, -1, jnp.int32)
         active = active_i != 0
-        active, s, cand, w0, w1, reg_cl = march(active, s, w0, w1, reg_cl)
+        active, s, cand, w0, w1, rr0, rr1, reg_cl = march(
+            active, s, w0, w1, rr0, rr1, reg_cl)
         cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
-        # Leaf row from the rank tables + in-word popcount.
-        ccl = jnp.where(cand, cwidx >> 1, 0)
+        # Leaf row: rank word + in-word popcount. Carried modes read the
+        # rank straight from the refresh registers (zero gathers here).
         half = cwidx & 1
-        r0, r1 = _gather_chunked_pair(l2r0_ref, l2r1_ref, ccl, 4,
-                                      base=l2_base)
-        rank = jnp.where(half == 0, r0, r1)
+        if carry:
+            rank = jnp.where(half == 0, rr0, rr1)
+        else:
+            ccl = jnp.where(cand, cwidx >> 1, 0)
+            r0, r1 = _gather_chunked_pair(l2r0_ref, l2r1_ref, ccl, 4,
+                                          base=l2_base)
+            rank = jnp.where(half == 0, r0, r1)
         row = rank + _popcount_below(cword, cbit)
 
         # Block entry/exit.
@@ -762,8 +822,11 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         resumed = cand & active & ~jnp.isfinite(hit_s)
         s = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS), s)
         active = active & (s < s_end) & ~(cand & jnp.isfinite(hit_s))
+        if carry:
+            return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                    w0, w1, rr0, rr1, reg_cl, rnd + jnp.int32(1))
         return (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                w0, w1, reg_cl, rnd + jnp.int32(1))
+                rnd + jnp.int32(1))
 
     def round_body_fused(rstate):
         """AO + final gather in one walk. Candidate dispatch:
@@ -774,16 +837,15 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         3. block fully past s_ao       -> rough: hit at block entry
            if it is >= s_ao (the split FG pass rejects straddling
            blocks the same way), else skip past."""
-        active_i, s, ao_t, fg_t, fg_row, w0, w1, reg_cl, rnd = rstate
+        (active_i, s, ao_t, fg_t, fg_row, w0, w1, rr0, rr1, reg_cl,
+         rnd) = rstate
         active = active_i != 0
-        active, s, cand, w0, w1, reg_cl = march(active, s, w0, w1, reg_cl)
+        active, s, cand, w0, w1, rr0, rr1, reg_cl = march(
+            active, s, w0, w1, rr0, rr1, reg_cl)
         cword, cwidx, cbit, cbx, cby, cbz = cand_info(s, w0, w1)
 
-        ccl = jnp.where(cand, cwidx >> 1, 0)
         half = cwidx & 1
-        r0, r1 = _gather_chunked_pair(l2r0_ref, l2r1_ref, ccl, 4,
-                                      base=l2_base)
-        rank = jnp.where(half == 0, r0, r1)
+        rank = jnp.where(half == 0, rr0, rr1)
         row = rank + _popcount_below(cword, cbit)
 
         fx = cbx.astype(jnp.float32) * 4.0
@@ -894,28 +956,31 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             (active.astype(jnp.int32), s, ao_t))
         active = (active_i2 != 0) & (s < s_end)
         return (active.astype(jnp.int32), s, ao_t, fg_t, fg_row,
-                w0, w1, reg_cl, rnd + jnp.int32(1))
+                w0, w1, rr0, rr1, reg_cl, rnd + jnp.int32(1))
 
     def round_cond(rstate):
         return jnp.any(rstate[0] != 0) & (rstate[-1] < rounds)
 
-    # Cross-round cell-register carry (see march): w0/w1 start dead with
-    # reg_cl = -1 so the first entry into an occupied cell refreshes.
-    cw0 = jnp.zeros(shape, jnp.int32)
-    cw1 = jnp.zeros(shape, jnp.int32)
-    ccl0 = jnp.full(shape, -1, jnp.int32)
+    # Cross-round cell-register carry (see march): w0/w1/ranks start
+    # dead with reg_cl = -1 so the first entry into an occupied cell
+    # refreshes.
+    if carry:
+        cw0 = jnp.zeros(shape, jnp.int32)
+        cw1 = jnp.zeros(shape, jnp.int32)
+        cr0 = jnp.zeros(shape, jnp.int32)
+        cr1 = jnp.zeros(shape, jnp.int32)
+        ccl0 = jnp.full(shape, -1, jnp.int32)
 
     if fused:
         rstate = (active.astype(jnp.int32), s, hit_s,
                   jnp.full(shape, jnp.inf, jnp.float32), hit_row,
-                  cw0, cw1, ccl0, jnp.int32(0))
+                  cw0, cw1, cr0, cr1, ccl0, jnp.int32(0))
         rstate = jax.lax.while_loop(round_cond, round_body_fused, rstate)
         return rstate[2], rstate[3], rstate[4]  # ao_t, fg_t, fg_row
 
     if mode == "rough":
         rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                  jnp.zeros(shape, jnp.int32), cw0, cw1, ccl0,
-                  jnp.int32(0))
+                  jnp.zeros(shape, jnp.int32), jnp.int32(0))
         rstate = jax.lax.while_loop(round_cond, round_body_rough, rstate)
         hit_s, hit_widx, hit_bitc, hit_word = (rstate[2], rstate[3],
                                                rstate[4], rstate[5])
@@ -930,9 +995,14 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             got, rank + _popcount_below(hit_word,
                                         jnp.maximum(hit_bitc, 0)), -1)
         hit_bit = jnp.full(shape, -1, jnp.int32)
+    elif carry:
+        rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
+                  cw0, cw1, cr0, cr1, ccl0, jnp.int32(0))
+        rstate = jax.lax.while_loop(round_cond, round_body, rstate)
+        hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
     else:
         rstate = (active.astype(jnp.int32), s, hit_s, hit_row, hit_bit,
-                  cw0, cw1, ccl0, jnp.int32(0))
+                  jnp.int32(0))
         rstate = jax.lax.while_loop(round_cond, round_body, rstate)
         hit_s, hit_row, hit_bit = rstate[2], rstate[3], rstate[4]
 

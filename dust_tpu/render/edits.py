@@ -87,6 +87,10 @@ class SceneEditor:
         # origin-tuple -> leaf row per model (leaf-patch fast path);
         # invalidated whenever a splice/rebuild reorders leaf rows.
         self._leaf_rows: dict[int, dict] = {}
+        # Async splice staging (refit_async/poll_refit).
+        self._worker = None
+        self._worker_out: dict = {}
+        self._worker_dirty: list = []
 
     def set_voxel(self, model_id: int, coords, palette_idx: int | None) -> None:
         """Set (palette index) or clear (None) one voxel."""
@@ -150,12 +154,18 @@ class SceneEditor:
         reference's hash going stale on edits). Returns ``device`` when
         called without a state, ``(device, new_state)`` with one.
         """
+        if self._worker is not None:
+            raise RuntimeError("a staged refit is in flight; poll_refit()")
         fast = self._try_leaf_patch(frame_state)
         if fast is not None:
             return fast
         if frame_state is None:
             return self._refit()
         device = self._refit()
+        return device, self._refresh_state(frame_state, device)
+
+    def _refresh_state(self, frame_state, device):
+        """Re-key a FrameState's dense caches after a splice/rebuild."""
         from dust_tpu.ops import gi_cache as gilib
         if isinstance(frame_state.gi, gilib.DenseGICache):
             if frame_state.gi.table.shape[0] == gilib.dense_rows(device):
@@ -172,7 +182,76 @@ class SceneEditor:
             else:
                 ws = gilib.make_dense_gi_cache(device)
             frame_state = frame_state._replace(gi_ws=ws)
-        return device, frame_state
+        return frame_state
+
+    def refit_async(self, frame_state=None):
+        """Non-blocking refit — the reference's async BLAS batch build
+        (``crates/render/src/accel_struct/blas.rs:125``: geometry builds
+        run on a task pool while frames keep presenting; the TLAS swaps
+        in the finished BLAS at a later frame).
+
+        The leaf-patch tier applies INLINE (its device scatter is one
+        async dispatch — far under a frame) and the call returns the
+        usual refit() result. Otherwise the expensive host geometry
+        rebuild is staged on a worker thread — the caller keeps
+        rendering from the OLD scene — and this returns ``None``; call
+        :meth:`poll_refit` once per frame to splice + swap the moment
+        the rebuild lands. Edits made while a rebuild is in flight stay
+        pending for the next refit."""
+        if self._worker is not None:
+            raise RuntimeError("a staged refit is already in flight")
+        fast = self._try_leaf_patch(frame_state)
+        if fast is not None:
+            return fast
+        if not self._dirty:
+            return (self.device, frame_state) if frame_state is not None \
+                else self.device
+        # Merge + snapshot on the caller thread (fast numpy ops); the
+        # worker reads only the merged coord/idx arrays, which no other
+        # path mutates until the next merge — and merges are serialised
+        # by the single-flight guard above.
+        import threading
+        dirty = sorted(self._dirty)
+        for mid in dirty:
+            self._leaf_rows.pop(mid, None)
+            self._merge_pending(mid)
+        self._dirty.clear()
+        self._worker_out = {}
+        self._worker_dirty = dirty
+
+        def work():
+            for mid in dirty:
+                # numpy + the GIL-releasing native voxcore call: overlaps
+                # the render thread's dispatch work.
+                self._worker_out[mid] = self._rebuild_geometry(mid)
+
+        self._worker = threading.Thread(target=work, daemon=True)
+        self._worker.start()
+        return None
+
+    @property
+    def refit_in_flight(self) -> bool:
+        return self._worker is not None
+
+    def poll_refit(self, frame_state=None, block=False):
+        """``None`` while a staged rebuild is still running; the
+        refit() result once it lands (the splice itself — async device
+        dispatches — applies on the calling thread, at your frame
+        boundary)."""
+        if self._worker is None:
+            return None
+        if not block and self._worker.is_alive():
+            return None
+        self._worker.join()
+        self._worker = None
+        for mid in self._worker_dirty:
+            self.vox_scene.geometries[mid] = self._worker_out[mid]
+        device = self._apply_splice(self._worker_dirty)
+        self._worker_dirty = []
+        self._worker_out = {}
+        if frame_state is None:
+            return device
+        return device, self._refresh_state(frame_state, device)
 
     def _try_leaf_patch(self, frame_state=None):
         """Leaf-granular fast path (BASELINE config #4's per-frame edit):
@@ -320,48 +399,58 @@ class SceneEditor:
                 gi_ws=gilib.DenseGICache(table=tab))
         return device, frame_state
 
-    def _refit(self) -> DeviceScene:
-        if not self._dirty:
-            return self.device
-
+    def _rebuild_geometry(self, mid: int):
+        """Host-side geometry rebuild for one model from the editor's
+        (already merged) coord/idx arrays — the expensive part of the
+        splice tier, safe to run OFF the render thread (pure numpy + the
+        GIL-releasing native voxcore call; touches no editor state)."""
         from dust_tpu import native
         from dust_tpu.vox.geometry import build_geometry_from_flat
         from dust_tpu.voxtree.tree import FlatTree
 
-        for mid in sorted(self._dirty):
+        coords = self._coords[mid]
+        idx = self._idx[mid]
+        geo_old = self.vox_scene.geometries[mid]
+        nat = (native.build_leaves(coords, idx)
+               if native.available() and len(coords) else None)
+        if nat is not None:
+            occupancy, block_ptr, materials = nat
+            flat = FlatTree.from_dense_pools(occupancy, block_ptr)
+            return build_geometry_from_flat(
+                flat, materials, self.vox_scene.palette,
+                geo_old.size, geo_old.unit_size,
+            )
+        tree = VoxTree.from_voxels(coords)
+        mats, block_ptr = collect_material_indices(coords, idx)
+        return build_geometry(
+            tree, mats, block_ptr, self.vox_scene.palette,
+            geo_old.size, geo_old.unit_size,
+        )
+
+    def _refit(self) -> DeviceScene:
+        if not self._dirty:
+            return self.device
+
+        dirty = sorted(self._dirty)
+        for mid in dirty:
             # Geometry rebuild reorders leaf rows: drop the fast-path map.
             self._leaf_rows.pop(mid, None)
             self._merge_pending(mid)
-            coords = self._coords[mid]
-            idx = self._idx[mid]
-            geo_old = self.vox_scene.geometries[mid]
             # Same native fast path the loader uses (threaded C++ leaf
             # build, ~10x the Python tree rebuild): coords -> dense
             # occupancy/materials -> FlatTree, no intermediate VoxTree.
-            nat = (native.build_leaves(coords, idx)
-                   if native.available() and len(coords) else None)
-            if nat is not None:
-                occupancy, block_ptr, materials = nat
-                flat = FlatTree.from_dense_pools(occupancy, block_ptr)
-                self.vox_scene.geometries[mid] = build_geometry_from_flat(
-                    flat, materials, self.vox_scene.palette,
-                    geo_old.size, geo_old.unit_size,
-                )
-            else:
-                tree = VoxTree.from_voxels(coords)
-                mats, block_ptr = collect_material_indices(coords, idx)
-                self.vox_scene.geometries[mid] = build_geometry(
-                    tree, mats, block_ptr, self.vox_scene.palette,
-                    geo_old.size, geo_old.unit_size,
-                )
+            self.vox_scene.geometries[mid] = self._rebuild_geometry(mid)
+        self._dirty.clear()
+        return self._apply_splice(dirty)
 
-        # Incremental path: splice each dirty model's rows in place.
-        # splice_model refreshes every derived structure for that model
-        # (cell grid, Pallas bitmap/rank/mask tables, packed leaf_attr
-        # rows, material segment, AABB) in lockstep; any model that no
-        # longer fits the scene's padding forces a full rebuild.
+    def _apply_splice(self, dirty) -> DeviceScene:
+        """Splice the (already rebuilt) dirty models' rows into the
+        device scene, falling back to a full rebuild when one no longer
+        fits its padding. splice_model refreshes every derived structure
+        for that model (cell grid, Pallas bitmap/rank/mask tables,
+        packed leaf_attr rows, material segment, AABB) in lockstep."""
         device = self.device
-        for mid in sorted(self._dirty):
+        for mid in dirty:
             slot = self._model_ids.index(mid)
             spliced = splice_model(
                 device, slot, self.vox_scene.geometries[mid],
@@ -375,7 +464,6 @@ class SceneEditor:
         if device is not None:
             self.last_refit_mode = "splice"
             self.device = device
-            self._dirty.clear()
             return self.device
 
         self.last_refit_mode = "rebuild"
@@ -389,5 +477,4 @@ class SceneEditor:
         geos = [self.vox_scene.geometries[m] for m in self._model_ids]
         self._mat_base, self._mat_cap = material_layout(geos)
         self.device = new
-        self._dirty.clear()
         return self.device

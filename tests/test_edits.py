@@ -329,3 +329,71 @@ class TestLeafPatchFastPath:
         np.testing.assert_array_equal(
             np.array(state3.gi_ws.table[:, 2]),
             np.array(gilib.make_dense_gi_cache(dev3).table[:, 2]))
+
+
+class TestAsyncRefit:
+    """refit_async/poll_refit — the reference's async BLAS staging
+    (blas.rs:125): host rebuilds run off the render thread, the splice
+    swaps at a frame boundary."""
+
+    def test_async_splice_matches_sync(self):
+        import time
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        ed.set_voxel(0, (1, 1, 1), palette_idx=5)
+        assert ed.refit_async() is None     # staged (new leaf -> splice)
+        assert ed.refit_in_flight
+        # "Render" while the rebuild runs; poll until it lands.
+        deadline = time.time() + 60.0
+        out = None
+        while out is None and time.time() < deadline:
+            out = ed.poll_refit()
+            time.sleep(0.005)
+        assert out is not None
+        assert ed.last_refit_mode == "splice"
+        assert not ed.refit_in_flight
+
+        vox2 = load_vox_scene(procgen.teapot_scene_bytes())
+        ed2 = SceneEditor(vox2, build_device_scene(vox2))
+        ed2.set_voxel(0, (1, 1, 1), palette_idx=5)
+        want = ed2.refit()
+        for name in out._fields:
+            a, b = getattr(out, name), getattr(want, name)
+            if name == "inst_model":
+                assert a == b
+                continue
+            np.testing.assert_array_equal(
+                np.array(a), np.array(b), err_msg=f"field {name} diverged")
+
+    def test_async_leaf_patch_applies_inline(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        c = ed._coords[0][0]
+        ed.set_voxel(0, tuple(int(v) for v in c), palette_idx=9)
+        out = ed.refit_async()
+        assert out is not None              # leaf tier needs no staging
+        assert ed.last_refit_mode == "leaf"
+        assert not ed.refit_in_flight
+
+    def test_edits_during_flight_stay_pending(self):
+        vox = load_vox_scene(procgen.teapot_scene_bytes())
+        dev = build_device_scene(vox)
+        ed = SceneEditor(vox, dev)
+        ed.set_voxel(0, (1, 1, 1), palette_idx=5)
+        assert ed.refit_async() is None
+        ed.set_voxel(0, (3, 1, 1), palette_idx=6)   # lands mid-flight
+        out = ed.poll_refit(block=True)
+        assert out is not None
+        assert ed._pending[0]                       # still pending
+        dev2 = ed.refit()                           # next refit picks it up
+        ed2v = load_vox_scene(procgen.teapot_scene_bytes())
+        ed2 = SceneEditor(ed2v, build_device_scene(ed2v))
+        ed2.set_voxel(0, (1, 1, 1), palette_idx=5)
+        ed2.set_voxel(0, (3, 1, 1), palette_idx=6)
+        want = ed2.refit()
+        np.testing.assert_array_equal(np.array(dev2.mask_lo),
+                                      np.array(want.mask_lo))
+        np.testing.assert_array_equal(np.array(dev2.avg_albedo),
+                                      np.array(want.avg_albedo))

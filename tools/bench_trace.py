@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--reps", type=int, default=12)
     ap.add_argument("--no-teapot", action="store_true")
-    ap.add_argument("--passes", default="primary,shadow,ao,fg")
+    ap.add_argument("--passes", default="primary,shadow,ao,fg,aofg")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -85,12 +85,18 @@ def main():
         "ao": (hit_loc, gi_dir, 0.1, jnp.where(hit, 8.0, -1.0),
                "ao_threshold"),
         "fg": (hit_loc, gi_dir, 8.0, jnp.where(hit, 1e5, -1.0), "rough"),
+        # The pipeline's actual sun-NEE walk (shadow_mode="reference"):
+        # fused near-threshold DDA + far block-granular rough.
+        "aofg": (hit_loc, jnp.broadcast_to(sun, (n, 3)), 0.1,
+                 jnp.where(hit, 1e4, -1.0), "ao_fg"),
     }
 
     def sync(x):
         return float(jnp.sum(x))
 
     from functools import partial
+
+    from dust_tpu.ops.pallas_trace import trace_scene_pallas_ao_fg
 
     for name in args.passes.split(","):
         o, d, tn, tx, mode = rays[name]
@@ -100,6 +106,16 @@ def main():
             acc = jnp.float32(0.0)
             hits = jnp.int32(0)
             for j in range(k):
+                if _mode == "ao_fg":
+                    near, far = trace_scene_pallas_ao_fg(
+                        scene, o, d, _tn,
+                        jnp.where(tx > 0, 8.0, -1.0), tx - 1e-3 * j)
+                    acc = acc + jnp.sum(
+                        jnp.where(jnp.isfinite(near.t), near.t, 0.0)
+                        + jnp.where(jnp.isfinite(far.t), far.t, 0.0))
+                    hits = hits + jnp.sum(
+                        (near.hit | far.hit).astype(jnp.int32))
+                    continue
                 r = trace_scene_pallas(scene, o, d, _tn,
                                        tx - 1e-3 * j, mode=_mode)
                 acc = acc + jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0))
