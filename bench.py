@@ -88,9 +88,6 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", choices=["pallas", "jnp"], default=None)
     ap.add_argument("--gi-cache", choices=["dense", "hash"], default="dense")
-    ap.add_argument("--bf16-guide", action="store_true",
-                    help="store the a-trous guide pack in bfloat16 "
-                    "(DenoiserSettings.atrous_guide_bf16)")
     ap.add_argument("--hash-capacity", type=int, default=None,
                     help="spatial-hash capacity for --gi-cache hash "
                     "(reference scale: 1<<25 = 32Mi entries)")
@@ -158,10 +155,8 @@ def main():
     if args.hash_capacity:
         cap = args.hash_capacity
     direct_only = args.config == "primary-shadow"
-    from dust_tpu.config import DenoiserSettings
     settings = RenderSettings(
         width=width, height=height,
-        denoiser=DenoiserSettings(atrous_guide_bf16=args.bf16_guide),
         spatial_hash=SpatialHashSettings(capacity=cap,
                                          ws_refresh_slices=args.ws_slices),
         surfels=SurfelSettings(pool_size=pool,

@@ -77,13 +77,12 @@ class DenoiserSettings:
     fast_max_accumulated_frames: int = 4
     antilag_sigma: float = 3.0
     antilag_relative: float = 0.25
-    # Store the à-trous guide (color/luma/depth/normal/valid pack) in
-    # bfloat16: halves the 8-shifted-reads-per-iteration HBM traffic of
-    # the filter loop. Weight math stays f32; bf16's ~0.4% quantisation
-    # only perturbs edge-stopping weights (gated by the ground-truth
-    # RMSE tests). Default ON since round 4: RMSE vs the converged GT
-    # measured IDENTICAL to the f32 guide.
-    atrous_guide_bf16: bool = True
+    # (An atrous_guide_bf16 flag — bf16 storage for the à-trous guide
+    # pack — shipped round 4 quality-neutral but perf-unmeasured; the
+    # round-5 frame A/B measured it 58.0 vs 56.0 ms at 1080p (the
+    # shifted guide reads are not the filter's bottleneck, and the
+    # cast/widen pairs cost more than the saved traffic), so the flag
+    # and the bf16 path were removed per the prune-or-promote rule.)
     # Denoise the stochastic indirect (AO/final-gather/skylight) channel
     # at half resolution with a joint-bilateral upsample, compositing the
     # deterministic sun-NEE direct term at full resolution. Deviation

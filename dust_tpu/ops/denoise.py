@@ -490,8 +490,6 @@ def denoise(
         guide = jnp.concatenate(
             [filtered, lum_f[..., None], depth_s[..., None], normal,
              valid_f[..., None]], axis=-1)  # (H,W,9)
-        if settings.atrous_guide_bf16:
-            guide = guide.astype(jnp.bfloat16)
         for dy, dx, kw in kernel:
             sy, sx = dy * step, dx * step
             g_q = shift(guide, -sy, -sx).astype(jnp.float32)

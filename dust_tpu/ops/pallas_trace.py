@@ -87,6 +87,25 @@ _MARCH_UNROLL = int(_os.environ.get("DUST_MARCH_UNROLL", "2"))
 _MICRO_UNROLL_ENV = _os.environ.get("DUST_MICRO_UNROLL")
 
 
+def _micro_prologue_for(mode: str) -> int:
+    """Fixed UNCONDITIONED micro-DDA iterations run before the while
+    loop: every while cond is a ~120-cycle vector->scalar sync, and the
+    typical candidate resolves in a handful of steps, so running the
+    first K iterations maskedly without asking "anyone left?" trades
+    dead-lane no-ops for most of the micro syncs. DUST_MICRO_PROLOGUE
+    overrides for sweeps."""
+    env = _os.environ.get("DUST_MICRO_PROLOGUE")
+    if env is not None:
+        return int(env)
+    # Round-5 TPU sweep (castle 2x, tools/bench_trace.py best-of-3 ms):
+    #   prologue:  0     2     4     6
+    #   primary   7.80  7.34  7.39   —
+    #   ao        3.64  3.41  3.52   —
+    # (fg has no micro loop; the fused ao_fg walk's micro is gated by a
+    # cond and keeps the short default.)
+    return {"precise": 2, "ao_threshold": 2, "ao_fg": 2}.get(mode, 0)
+
+
 def _micro_unroll_for(mode: str) -> int:
     """Micro-DDA loop unroll, per trace mode (DUST_MICRO_UNROLL
     overrides for sweeps). Round-4 sweep on the 29k-leaf castle
@@ -814,6 +833,8 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         st = (in_micro.astype(jnp.int32), s_m, mx, my, mz, tmx, tmy, tmz,
               active.astype(jnp.int32), hit_s, hit_row, hit_bit,
               jnp.int32(0))
+        for _p in range(_micro_prologue_for(mode)):
+            st = mbody(st)  # sync-free prologue (see _micro_prologue_for)
         st = jax.lax.while_loop(mcond, _compose(mbody, _micro_unroll_for(mode)), st)
         active = st[8] != 0
         hit_s, hit_row, hit_bit = st[9], st[10], st[11]
@@ -942,6 +963,8 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             st = (in_micro.astype(jnp.int32), s_m, mx, my, mz,
                   tmx, tmy, tmz, active.astype(jnp.int32), ao_t,
                   jnp.int32(0))
+            for _p in range(_micro_prologue_for(mode)):
+                st = mbody(st)  # sync-free prologue
             st = jax.lax.while_loop(mcond, _compose(mbody, _micro_unroll_for(mode)), st)
             active2 = st[8] != 0
             ao_t = st[9]

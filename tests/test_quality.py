@@ -253,3 +253,37 @@ def test_budgeted_dense_quality(rig, gt, dense_run):
     assert r_bud - r_free < BUDGET_EXTRA, (
         f"dense budget costs {r_bud - r_free:.4f} extra RMSE "
         f"(budgeted {r_bud:.4f} vs free {r_free:.4f})")
+
+
+# ---------------------------------------------------------------------------
+# 512x512 GT gate (VERDICT r4 item 6): the 256 GT under-resolves the 2x
+# castle's detail, so the absolute gates' ~0.04 floor partly reflected GT
+# resolution. tools/gen_ground_truth.py --width 512 --height 512 records
+# a higher-resolution converged signal + golden PNG; this single gate
+# renders a short warmed sequence at 512^2 (one render only — 4x the
+# pixels of the other fixtures) and pins its RMSE. Bound = 1.5x the
+# value measured at recording time (2026-08-19: 0.0253 — the same
+# estimator measured 0.030 against the 256 GT, confirming the 256 gates
+# carried ~20% resolution penalty).
+RMSE_DENOISED_512 = 0.038
+
+GT512_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                          "castle_gt_512x512.npz")
+
+
+def test_denoised_rmse_vs_ground_truth_512():
+    if not os.path.exists(GT512_PATH):
+        pytest.skip("512 ground truth not generated "
+                    "(tools/gen_ground_truth.py --width 512 --height 512)")
+    gt = np.load(GT512_PATH)
+    rig512 = None
+    W, H = int(gt["width"]), int(gt["height"])
+    vox_scene = load_vox_scene(procgen.castle_scene_bytes())
+    procgen.add_teapot(vox_scene)
+    scene = build_device_scene(vox_scene)
+    sky = bake_sky(gt_settings(W, H).sunlight)
+    bn = load_blue_noise()
+    rig512 = (W, H, scene, sky, bn)
+    out = _render(rig512, gt, frames=12)
+    r = _rmse(out, gt["output"])
+    assert r < RMSE_DENOISED_512, f"512 denoised RMSE {r:.4f}"
