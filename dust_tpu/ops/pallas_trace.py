@@ -792,24 +792,24 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
         def mcond(st):
             return jnp.any(st[0] != 0) & (st[-1] < micro_cap)
 
+        # The loop FREEZES a lane on its first occupied voxel (position
+        # and s stop advancing) and the hit outputs are derived post-loop
+        # from the frozen DDA state: carrying only (in_micro, s, pos,
+        # tMax) keeps the micro loop at 8 (R,128) arrays instead of 12
+        # (the register file spills past ~13, and this loop nests inside
+        # the round loop's own carries) and drops the 5 masked hit/active
+        # selects from every iteration.
         def mbody(st):
-            (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz,
-             active_i, hit_s, hit_row, hit_bit, i) = st
+            (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz, i) = st
             in_micro = in_micro_i != 0
-            active = active_i != 0
             bit = ((mx & 3) << 4) | ((my & 3) << 2) | (mz & 3)
             in_lo = bit < 32
             blo = _bit_test_i32(mask_lo, jnp.where(in_lo, bit, 0))
             bhi = _bit_test_i32(mask_hi, jnp.where(in_lo, 0, bit - 32))
             occ = jnp.where(in_lo, blo, bhi) != 0
 
-            hit_now = in_micro & occ & (s_m <= s_end)
-            dead_far = in_micro & occ & (s_m > s_end)
-            hit_s = jnp.where(hit_now, s_m, hit_s)
-            hit_row = jnp.where(hit_now, row, hit_row)
-            hit_bit = jnp.where(hit_now, bit, hit_bit)
-            active2 = active & ~(hit_now | dead_far)
-            in_micro = in_micro & ~(hit_now | dead_far)
+            # Freeze on occupancy (hit vs past-range resolved post-loop).
+            in_micro = in_micro & ~occ
 
             # Step the axis with the smallest tMax.
             s_next = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
@@ -827,17 +827,30 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             s_m = jnp.where(adv, s_next, s_m)
             in_micro = in_micro & ~exited
             return (in_micro.astype(jnp.int32), s_m, mx, my, mz,
-                    tmx, tmy, tmz, active2.astype(jnp.int32),
-                    hit_s, hit_row, hit_bit, i + jnp.int32(1))
+                    tmx, tmy, tmz, i + jnp.int32(1))
 
         st = (in_micro.astype(jnp.int32), s_m, mx, my, mz, tmx, tmy, tmz,
-              active.astype(jnp.int32), hit_s, hit_row, hit_bit,
               jnp.int32(0))
         for _p in range(_micro_prologue_for(mode)):
             st = mbody(st)  # sync-free prologue (see _micro_prologue_for)
         st = jax.lax.while_loop(mcond, _compose(mbody, _micro_unroll_for(mode)), st)
-        active = st[8] != 0
-        hit_s, hit_row, hit_bit = st[9], st[10], st[11]
+        s_f, mx_f, my_f, mz_f = st[1], st[2], st[3], st[4]
+
+        # Post-loop hit resolution from the frozen state: a lane that
+        # froze on occupancy sits ON its first occupied voxel; exited /
+        # never-entered lanes sit on a tested-empty voxel or are masked
+        # by ``in_micro`` (the loop-ENTRY mask). Expressions match the
+        # old in-loop writes bit-for-bit.
+        bit_f = ((mx_f & 3) << 4) | ((my_f & 3) << 2) | (mz_f & 3)
+        in_lo_f = bit_f < 32
+        blo_f = _bit_test_i32(mask_lo, jnp.where(in_lo_f, bit_f, 0))
+        bhi_f = _bit_test_i32(mask_hi, jnp.where(in_lo_f, 0, bit_f - 32))
+        occ_f = in_micro & (jnp.where(in_lo_f, blo_f, bhi_f) != 0)
+        hit_now = occ_f & (s_f <= s_end)
+        hit_s = jnp.where(hit_now, s_f, hit_s)
+        hit_row = jnp.where(hit_now, row, hit_row)
+        hit_bit = jnp.where(hit_now, bit_f, hit_bit)
+        active = active & ~occ_f  # hit or past-range: done either way
 
         # Rays whose block had no voxel hit resume past the block.
         resumed = cand & active & ~jnp.isfinite(hit_s)
@@ -926,21 +939,19 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
             def mcond(st):
                 return jnp.any(st[0] != 0) & (st[-1] < micro_cap)
 
+            # Freeze-on-occupancy micro loop; ao_t/active derived
+            # post-loop from the frozen state (see the precise-mode
+            # micro loop note — same 12 -> 8 carry diet).
             def mbody(st):
-                (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz,
-                 active_i, ao_t, i) = st
+                (in_micro_i, s_m, mx, my, mz, tmx, tmy, tmz, i) = st
                 in_micro = in_micro_i != 0
-                active = active_i != 0
                 bit = ((mx & 3) << 4) | ((my & 3) << 2) | (mz & 3)
                 in_lo = bit < 32
                 blo = _bit_test_i32(mask_lo, jnp.where(in_lo, bit, 0))
                 bhi = _bit_test_i32(mask_hi, jnp.where(in_lo, 0, bit - 32))
                 occ = jnp.where(in_lo, blo, bhi) != 0
 
-                hit_now = in_micro & occ
-                ao_t = jnp.where(hit_now, s_m, ao_t)
-                active2 = active & ~hit_now
-                in_micro = in_micro & ~hit_now
+                in_micro = in_micro & ~occ
 
                 s_next = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
                 exited = in_micro & (s_next + _EPS >= blk_out)
@@ -957,17 +968,23 @@ def _traverse_core(l1t, l2w0_ref, l2w1_ref, l2r0_ref, l2r1_ref,
                 s_m = jnp.where(adv, s_next, s_m)
                 in_micro = in_micro & ~exited
                 return (in_micro.astype(jnp.int32), s_m, mx, my, mz,
-                        tmx, tmy, tmz, active2.astype(jnp.int32),
-                        ao_t, i + jnp.int32(1))
+                        tmx, tmy, tmz, i + jnp.int32(1))
 
             st = (in_micro.astype(jnp.int32), s_m, mx, my, mz,
-                  tmx, tmy, tmz, active.astype(jnp.int32), ao_t,
-                  jnp.int32(0))
+                  tmx, tmy, tmz, jnp.int32(0))
             for _p in range(_micro_prologue_for(mode)):
                 st = mbody(st)  # sync-free prologue
             st = jax.lax.while_loop(mcond, _compose(mbody, _micro_unroll_for(mode)), st)
-            active2 = st[8] != 0
-            ao_t = st[9]
+            s_f, mx_f, my_f, mz_f = st[1], st[2], st[3], st[4]
+
+            bit_f = ((mx_f & 3) << 4) | ((my_f & 3) << 2) | (mz_f & 3)
+            in_lo_f = bit_f < 32
+            blo_f = _bit_test_i32(mask_lo, jnp.where(in_lo_f, bit_f, 0))
+            bhi_f = _bit_test_i32(mask_hi,
+                                  jnp.where(in_lo_f, 0, bit_f - 32))
+            hit_f = in_micro & (jnp.where(in_lo_f, blo_f, bhi_f) != 0)
+            ao_t = jnp.where(hit_f, s_f, ao_t)
+            active2 = active & ~hit_f
 
             resumed = in_micro & active2
             s2 = jnp.where(resumed, jnp.maximum(blk_out, s + _STEP_EPS),
