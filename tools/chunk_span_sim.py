@@ -104,6 +104,7 @@ def span_stats(rows_per_round, order, label, tile=1024):
     """Histogram of per-(tile, round) chunk spans (cmax-cmin+1) and the
     modeled select-walk cost of each gate strategy."""
     spans = []
+    rowspans = []
     touched = []
     for r in rows_per_round:
         rt = r[order].reshape(-1, tile)
@@ -115,6 +116,11 @@ def span_stats(rows_per_round, order, label, tile=1024):
         cmin = np.where(any_t, np.where(has, c, 10 ** 9).min(axis=1), 0)
         cmax = np.where(any_t, np.where(has, c, -1).max(axis=1), -1)
         spans.append((cmax - cmin + 1)[any_t])
+        # Exact leaf-row span (decides whether an UNALIGNED 1024-leaf
+        # window — scalar dynamic ref slice — could replace the walk).
+        rmin = np.where(any_t, np.where(has, rt, 10 ** 9).min(axis=1), 0)
+        rmax = np.where(any_t, np.where(has, rt, -1).max(axis=1), -1)
+        rowspans.append((rmax - rmin + 1)[any_t])
         # distinct chunks actually touched (for the per-chunk-cond model)
         for t in np.nonzero(any_t)[0]:
             touched.append(len(np.unique(c[t][has[t]])))
@@ -122,6 +128,11 @@ def span_stats(rows_per_round, order, label, tile=1024):
         print(f"[{label}] no rounds with candidates")
         return
     sp = np.concatenate(spans)
+    rs = np.concatenate(rowspans)
+    rq = np.percentile(rs, [50, 90, 99])
+    print(f"[{label}] leaf-row span p50/p90/p99 = "
+          f"{rq[0]:.0f}/{rq[1]:.0f}/{rq[2]:.0f}; "
+          f"<=1024 {(rs <= 1024).mean():.1%}, <=2048 {(rs <= 2048).mean():.1%}")
     tc = np.asarray(touched)
     q = np.percentile(sp, [50, 90, 99])
     hist = [(sp <= w).mean() for w in (1, 2, 4, 8, 16)]
