@@ -113,7 +113,14 @@ def _micro_unroll_for(mode: str) -> int:
     primary 8.8 -> 8.0 and ao 4.6 -> 2.7 (the short AO micro walks are
     sync-bound), while the fused ao_fg shadow walk regresses 6.7 -> 9.0
     (its union body is long; over-running costs more than the syncs
-    save). "rough" has no micro loop — the knob is inert there."""
+    save). "rough" has no micro loop — the knob is inert there.
+
+    Round-5 re-sweep after the freeze-on-occupancy register diet
+    (best-of-12, ms): unroll 3 takes primary 7.92 -> 7.54 but shadow
+    (same "precise" mode) 8.43 -> 8.76 and ao 3.70 -> 3.79 — the net
+    frame effect is a wash, so the default stays 2. The same sweep
+    re-measured prologue 3/4 (neutral-to-worse) and march unroll 1/3
+    (7.71/8.28 vs 7.92 baseline — within session noise)."""
     if _MICRO_UNROLL_ENV is not None:
         return int(_MICRO_UNROLL_ENV)
     return {"precise": 2, "ao_threshold": 2, "ao_fg": 1}.get(mode, 1)
