@@ -1517,6 +1517,45 @@ def trace_scene_pallas_ao_fg(scene, origin, direction, t_min, t_ao, t_max,
     return ao, fg
 
 
+def _front_to_back_ids(scene, origin, order, inst_counts):
+    """Near-to-far instance order for the batched scene kernel — the
+    TLAS front-to-back sweep analog. WITHIN each model group (the
+    model grouping is static: chunk counts are baked per group),
+    instances are sorted by squared distance from the ray population's
+    mean origin to the instance's world-space box center.
+
+    Pure perf, zero semantics: the kernel's closest-hit merge is
+    order-independent, but its per-tile cull (instance active iff
+    s_min < s_stop, with s_stop capped by the best hit so far) can
+    only skip an instance if a closer one was swept FIRST — so on
+    many-instance scenes near-to-far order turns occluded instances
+    into culled ones. The order is TRACED data (ids/aff are kernel
+    inputs): camera motion costs an (I,)-argsort per dispatch and no
+    recompile. Callers keep the static order at <=2 instances, where
+    the cull gate is not emitted (see _make_scene_kernel)."""
+    ids_static = np.asarray(order, np.int32)
+    center_m = 0.5 * (scene.model_aabb_min + scene.model_aabb_max)
+    models = np.asarray(scene.inst_model, np.int64)[ids_static]
+    c = jnp.take(center_m, jnp.asarray(models), axis=0)          # (I, 3)
+    o2w = jnp.take(scene.obj_to_world, jnp.asarray(ids_static), axis=0)
+    cw = jnp.sum(o2w[:, :, :3] * c[:, None, :], axis=-1) + o2w[:, :, 3]
+    mo = jnp.mean(jnp.asarray(origin, jnp.float32), axis=0)
+    dist = jnp.sum((cw - mo[None, :]) ** 2, axis=-1)             # (I,)
+    parts = []
+    start = 0
+    for cnt in inst_counts:
+        if cnt == 0:
+            continue
+        seg = jnp.asarray(ids_static[start:start + cnt])
+        if cnt > 1:
+            seg = jnp.take(seg, jnp.argsort(dist[start:start + cnt]))
+        parts.append(seg)
+        start += cnt
+    ids = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    aff = jnp.take(scene.world_to_obj.reshape(-1, 12), ids, axis=0)
+    return ids, aff
+
+
 def _trace_scene_ao_fg_batched(scene, origin, direction, t_min, t_ao,
                                t_max, rounds: int, interpret: bool):
     """Batched-kernel body of :func:`trace_scene_pallas_ao_fg`."""
@@ -1547,8 +1586,13 @@ def _trace_scene_ao_fg_batched(scene, origin, direction, t_min, t_ao,
     order = sorted(range(I), key=lambda i: scene.inst_model[i])
     inst_counts = tuple(
         sum(1 for im in scene.inst_model if im == m) for m in range(M))
-    ids = jnp.asarray(order, jnp.int32)
-    aff = scene.world_to_obj[np.asarray(order)].reshape(I, 12)
+    if I > 2:
+        # Near-to-far within each model group: feeds the in-kernel
+        # per-tile cull (emitted at >2 instances) occluders first.
+        ids, aff = _front_to_back_ids(scene, origin, order, inst_counts)
+    else:
+        ids = jnp.asarray(order, jnp.int32)
+        aff = scene.world_to_obj[np.asarray(order)].reshape(I, 12)
     aabb = jnp.concatenate([scene.model_aabb_min, scene.model_aabb_max],
                            axis=-1)
 
@@ -1650,8 +1694,13 @@ def trace_scene_pallas_batched(scene, origin, direction, t_min, t_max,
     order = sorted(range(I), key=lambda i: scene.inst_model[i])
     inst_counts = tuple(
         sum(1 for im in scene.inst_model if im == m) for m in range(M))
-    ids = jnp.asarray(order, jnp.int32)
-    aff = scene.world_to_obj[np.asarray(order)].reshape(I, 12)
+    if I > 2:
+        # Near-to-far within each model group: feeds the in-kernel
+        # per-tile cull (emitted at >2 instances) occluders first.
+        ids, aff = _front_to_back_ids(scene, origin, order, inst_counts)
+    else:
+        ids = jnp.asarray(order, jnp.int32)
+        aff = scene.world_to_obj[np.asarray(order)].reshape(I, 12)
     aabb = jnp.concatenate([scene.model_aabb_min, scene.model_aabb_max],
                            axis=-1)  # (M, 6)
 
