@@ -176,3 +176,39 @@ class TestCameraParity:
             return v[2] / v[3]
         assert abs(project(-0.1) - 1.0) < 1e-6      # near -> 1
         assert abs(project(-1e9)) < 1e-6            # far -> 0
+
+
+class TestFrontToBackOrder:
+    def test_ids_sorted_near_to_far_within_model_group(self):
+        """The batched kernel's >2-instance sweep receives instances
+        near-to-far (pallas_trace._front_to_back_ids): the per-tile
+        cull can then skip occluded instances. Ordering is pure perf —
+        the merge is order-independent (pinned by the loop oracles
+        above) — so this pins just the ordering property."""
+        from dust_tpu.ops.pallas_trace import _front_to_back_ids
+
+        dev = build_device_scene(_five_teapots())
+        I = dev.num_instances
+        order = sorted(range(I), key=lambda i: dev.inst_model[i])
+        counts = tuple(sum(1 for im in dev.inst_model if im == m)
+                       for m in range(dev.num_models))
+        eye = np.array([610.0, 60.0, 90.0], np.float32)  # near teapot 4
+        origin = jnp.broadcast_to(jnp.asarray(eye), (64, 3))
+        ids, aff = _front_to_back_ids(dev, origin, order, counts)
+        ids = np.asarray(ids)
+        assert sorted(ids.tolist()) == list(range(I))
+        # Model grouping preserved (all one model here).
+        assert [int(dev.inst_model[i]) for i in ids] == \
+            sorted(int(m) for m in dev.inst_model)
+        # Distances from the eye are non-decreasing along the sweep.
+        cm = 0.5 * (np.asarray(dev.model_aabb_min)
+                    + np.asarray(dev.model_aabb_max))
+        o2w = np.asarray(dev.obj_to_world)
+        cw = np.einsum("ijk,ik->ij", o2w[ids][:, :, :3],
+                       cm[[int(dev.inst_model[i]) for i in ids]]) \
+            + o2w[ids][:, :, 3]
+        d = ((cw - eye) ** 2).sum(-1)
+        assert (np.diff(d) >= -1e-3).all(), d
+        # aff rows follow the same permutation.
+        np.testing.assert_allclose(
+            np.asarray(aff), np.asarray(dev.world_to_obj)[ids].reshape(I, 12))
